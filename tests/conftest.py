@@ -6,12 +6,20 @@ intentionally does it at import time (pytest imports conftest first).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even if the launch environment points JAX at a TPU tunnel:
+# unit tests must be hermetic and fast. The tunnel's sitecustomize calls
+# jax.config.update("jax_platforms", ...) at interpreter start, so setting
+# the env var alone is not enough — override the config value too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
