@@ -1,0 +1,146 @@
+"""Model zoo shape/behavior tests (reference topology networks.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vnet_tpu.models import (AttentionGatedVNet, Dense, UNet, VNet,
+                             attention_distance_loss, build_network)
+
+
+def init_and_apply(model, x, train=False, **apply_kw):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, train=True)
+    out = model.apply(variables, x, train=train,
+                      rngs={"dropout": jax.random.PRNGKey(2)},
+                      mutable=["batch_stats"] if train else False, **apply_kw)
+    if train:
+        out = out[0]
+    return variables, out
+
+
+@pytest.mark.parametrize("spatial,channels", [((16, 16, 16), 1),
+                                              ((16, 16, 16), 2),
+                                              ((32, 32), 1)])
+def test_vnet_shapes(spatial, channels):
+    x = jnp.ones((2, *spatial, channels), jnp.float32)
+    model = VNet(num_classes=3, num_channels=4, num_levels=2,
+                 num_convolutions=(1, 2), bottom_convolutions=1)
+    _, logits = init_and_apply(model, x)
+    assert logits.shape == (2, *spatial, 3)
+    assert logits.dtype == jnp.float32
+
+
+def test_vnet_level_count_mismatch_raises():
+    x = jnp.ones((1, 8, 8, 8, 1), jnp.float32)
+    model = VNet(num_classes=2, num_levels=3, num_convolutions=(1, 2))
+    with pytest.raises(AssertionError):
+        model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
+def test_vnet_channel_progression():
+    """Encoder doubles channels per level (networks.py:274-280)."""
+    x = jnp.ones((1, 16, 16, 16, 1), jnp.float32)
+    model = VNet(num_classes=2, num_channels=4, num_levels=2,
+                 num_convolutions=(1, 1), bottom_convolutions=1)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    params = variables["params"]
+    # down_1 doubles 4 -> 8; down_2 doubles 8 -> 16
+    assert params["down_1"]["conv"]["kernel"].shape[-1] == 8
+    assert params["down_2"]["conv"]["kernel"].shape[-1] == 16
+    # encoder convs are 5^3 (networks.py:314-316)
+    assert params["encoder_level_1"]["conv_1"]["kernel"].shape[:3] == (5, 5, 5)
+
+
+@pytest.mark.parametrize("spatial", [(16, 16, 16), (32, 32)])
+def test_unet_shapes(spatial):
+    x = jnp.ones((2, *spatial, 1), jnp.float32)
+    model = UNet(num_classes=2, num_channels=4, num_levels=2,
+                 num_convolutions=1, bottom_convolutions=1)
+    _, logits = init_and_apply(model, x)
+    assert logits.shape == (2, *spatial, 2)
+
+
+def test_dense_shapes():
+    x = jnp.ones((2, 8, 8, 1), jnp.float32)
+    model = Dense(num_classes=2, num_levels=2)
+    _, logits = init_and_apply(model, x)
+    assert logits.shape == (2, 8, 8, 2)
+
+
+def test_attention_gated_vnet():
+    x = jnp.ones((1, 16, 16, 16, 1), jnp.float32)
+    model = AttentionGatedVNet(num_classes=2, num_channels=4, num_levels=2,
+                               num_convolutions=(1, 1),
+                               bottom_convolutions=1, attention_channels=8)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, train=False)
+    logits, att = model.apply(variables, x, train=False)
+    assert logits.shape == (1, 16, 16, 16, 2)
+    assert att.shape == (1, 16, 16, 16, 2)
+
+    dist = jnp.zeros((1, 16, 16, 16))
+    loss = attention_distance_loss(att, dist, kind="l2")
+    assert np.isfinite(float(loss))
+
+
+def test_build_network_dispatch():
+    net = build_network("VNet", num_classes=2, num_channels=4, num_levels=2,
+                        num_convolutions=(1, 1), bottom_convolutions=1)
+    assert isinstance(net, VNet)
+    assert net.activation == "prelu"  # model.py:437 hardcodes prelu for VNet
+    net = build_network("UNet", num_classes=2)
+    assert isinstance(net, UNet)
+    assert net.activation == "relu"  # model.py:426
+    with pytest.raises(NotImplementedError):
+        build_network("FCN", num_classes=2)
+    with pytest.raises(ValueError):
+        build_network("nope", num_classes=2)
+
+
+def test_train_updates_batch_stats():
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 8, 1))
+    model = VNet(num_classes=2, num_channels=4, num_levels=1,
+                 num_convolutions=(1,), bottom_convolutions=1)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, train=True)
+    _, new_state = model.apply(variables, x, train=True,
+                               rngs={"dropout": jax.random.PRNGKey(2)},
+                               mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_state["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_dropout_is_stochastic_in_train():
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 8, 8, 8, 1))
+    model = VNet(num_classes=2, num_channels=4, num_levels=1,
+                 num_convolutions=(1,), bottom_convolutions=1,
+                 dropout_rate=0.5)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = model.init(rngs, x, train=True)
+    a, _ = model.apply(variables, x, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(10)},
+                       mutable=["batch_stats"])
+    b, _ = model.apply(variables, x, train=True,
+                       rngs={"dropout": jax.random.PRNGKey(11)},
+                       mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    # eval is deterministic
+    c = model.apply(variables, x, train=False)
+    d = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(d))
+
+
+def test_bfloat16_compute_f32_params():
+    x = jnp.ones((1, 8, 8, 8, 1), jnp.float32)
+    model = VNet(num_classes=2, num_channels=4, num_levels=1,
+                 num_convolutions=(1,), bottom_convolutions=1,
+                 dtype=jnp.bfloat16)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    leaves = jax.tree_util.tree_leaves(variables["params"])
+    assert all(l.dtype == jnp.float32 for l in leaves)
+    logits = model.apply(variables, x, train=False)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()

@@ -1,0 +1,68 @@
+"""Model zoo + name-dispatched factory.
+
+``build_network`` mirrors the reference's network dispatch
+(`/root/reference/model.py:414-440`): names ``VNet``, ``UNet``, ``Dense``
+(and the attention-gated variant ``AttentionVNet`` from the legacy path,
+`train.py:281-310`). ``FCN`` raises, as in `model.py:415-416`.
+"""
+
+from __future__ import annotations
+
+from .attention import (AttentionGatedVNet, AttentionModule, OutputModule,
+                        attention_distance_loss)
+from .dense import Dense
+from .unet import UNet
+from .vnet import VNet
+
+_NETWORKS = {
+    "VNet": VNet,
+    "UNet": UNet,
+    "Dense": Dense,
+    "AttentionVNet": AttentionGatedVNet,
+}
+
+
+def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
+                  num_channels: int = 16, num_levels: int = 4,
+                  num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
+                  activation: str = None, norm: str = "batch", dtype=None):
+    """Instantiate a network module from config values
+    (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
+    for VNet — kept as defaults when ``activation`` is None."""
+    if name == "FCN":
+        raise NotImplementedError("Network to be developed")  # model.py:415-416
+    if name not in _NETWORKS:
+        raise ValueError(f"Invalid network: {name!r}")
+
+    if name == "UNet":
+        return UNet(num_classes=num_classes, num_channels=num_channels,
+                    num_levels=num_levels,
+                    num_convolutions=(num_convolutions[0]
+                                      if isinstance(num_convolutions, (list, tuple))
+                                      else num_convolutions),
+                    bottom_convolutions=bottom_convolutions,
+                    dropout_rate=dropout_rate,
+                    activation=activation or "relu", norm=norm, dtype=dtype)
+    if name == "Dense":
+        return Dense(num_classes=num_classes, num_levels=num_levels,
+                     dropout_rate=dropout_rate,
+                     activation=activation or "relu", norm=norm, dtype=dtype)
+    if name == "AttentionVNet":
+        return AttentionGatedVNet(
+            num_classes=num_classes, num_channels=num_channels,
+            num_levels=num_levels, num_convolutions=tuple(num_convolutions),
+            bottom_convolutions=bottom_convolutions,
+            dropout_rate=dropout_rate, activation=activation or "prelu",
+            norm=norm, dtype=dtype)
+    return VNet(num_classes=num_classes, num_channels=num_channels,
+                num_levels=num_levels,
+                num_convolutions=tuple(num_convolutions),
+                bottom_convolutions=bottom_convolutions,
+                dropout_rate=dropout_rate, activation=activation or "prelu",
+                norm=norm, dtype=dtype)
+
+
+__all__ = [
+    "VNet", "UNet", "Dense", "AttentionGatedVNet", "AttentionModule",
+    "OutputModule", "attention_distance_loss", "build_network",
+]

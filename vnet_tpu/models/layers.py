@@ -1,0 +1,197 @@
+"""Rank-generic layer primitives for the model zoo.
+
+TPU-native re-design of the reference's layer library
+(`/root/reference/layers2.py`): convolutions run through
+``lax.conv_general_dilated`` via flax in channels-last layout
+(``N *spatial C``) so XLA tiles them onto the MXU; compute dtype is
+configurable (bfloat16 on TPU) with float32 parameters and accumulation.
+
+Parity notes:
+* Xavier-uniform conv init (`layers2.py:4-30`): the reference's
+  ``lim = sqrt(6/(patch_volume*(in+out)))`` is exactly
+  ``glorot_uniform`` with fan = patch_volume * channels.
+* ``prelu`` (`layers2.py:97-99`): per-channel alpha, init 0.1.
+* Down-convolution (`layers2.py:78-84`): stride-2 conv, channels x2.
+* Up-convolution (`layers2.py:88-94`): stride-2 transpose conv, channels /2.
+* BatchNorm: momentum 0.99, epsilon 0.001 (`networks.py:58` etc.). The
+  reference always feeds ``train_phase=True`` — even during inference
+  (`model.py:917`) — i.e. batch statistics at eval. ``norm="batch_stats"``
+  reproduces that; ``norm="batch"`` is the corrected EMA behavior;
+  ``norm="group"`` / ``"instance"`` are the TPU-friendly batch-size-robust
+  options.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+conv_kernel_init = nn.initializers.glorot_uniform()
+
+NORM_KINDS = ("batch", "batch_stats", "group", "instance", "none")
+ACTIVATIONS = ("relu", "prelu", "lrelu")
+
+
+class PReLU(nn.Module):
+    """Per-channel parametric ReLU, alpha init 0.1 (`layers2.py:97-99`)."""
+
+    negative_slope_init: float = 0.1
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param(
+            "alpha",
+            nn.initializers.constant(self.negative_slope_init),
+            (x.shape[-1],),
+            self.param_dtype,
+        ).astype(x.dtype)
+        return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
+
+
+class Activation(nn.Module):
+    """String-dispatched activation (`networks.py:239-244`)."""
+
+    kind: str = "relu"
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "relu":
+            return nn.relu(x)
+        if self.kind == "prelu":
+            return PReLU(param_dtype=self.param_dtype, name="prelu")(x)
+        if self.kind == "lrelu":
+            return nn.leaky_relu(x)
+        raise ValueError(f"Unknown activation: {self.kind!r}")
+
+
+class Norm(nn.Module):
+    """Normalization selected by ``kind`` — see module docstring."""
+
+    kind: str = "batch"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.kind == "none":
+            return x
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+        if self.kind == "batch_stats":
+            # reference quirk: batch statistics in every phase (model.py:917)
+            return nn.BatchNorm(
+                use_running_average=False, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+        if self.kind == "group":
+            groups = min(8, x.shape[-1])
+            while x.shape[-1] % groups:
+                groups -= 1
+            return nn.GroupNorm(num_groups=groups, epsilon=1e-3,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name="gn")(x)
+        if self.kind == "instance":
+            # normalize over spatial dims only
+            reduction = tuple(range(1, x.ndim - 1))
+            mean = jnp.mean(x, axis=reduction, keepdims=True)
+            var = jnp.var(x, axis=reduction, keepdims=True)
+            y = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+            scale = self.param("scale", nn.initializers.ones,
+                               (x.shape[-1],), self.param_dtype).astype(x.dtype)
+            bias = self.param("bias", nn.initializers.zeros,
+                              (x.shape[-1],), self.param_dtype).astype(x.dtype)
+            return y * scale + bias
+        raise ValueError(f"Unknown norm kind: {self.kind!r}")
+
+
+def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
+         strides=None, dtype=None, param_dtype=jnp.float32,
+         name: Optional[str] = None, use_bias: bool = True) -> nn.Conv:
+    """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
+    bias (`layers2.py:59-63`)."""
+    if isinstance(kernel, int):
+        kernel = (kernel,) * spatial_rank
+    return nn.Conv(
+        features=features,
+        kernel_size=tuple(kernel),
+        strides=strides,
+        padding="SAME",
+        use_bias=use_bias,
+        kernel_init=conv_kernel_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name=name,
+    )
+
+
+def deconv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
+           strides, dtype=None, param_dtype=jnp.float32,
+           name: Optional[str] = None) -> nn.ConvTranspose:
+    """SAME transpose convolution (`layers2.py:65-74`)."""
+    if isinstance(kernel, int):
+        kernel = (kernel,) * spatial_rank
+    return nn.ConvTranspose(
+        features=features,
+        kernel_size=tuple(kernel),
+        strides=tuple(strides),
+        padding="SAME",
+        use_bias=True,
+        kernel_init=conv_kernel_init,
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        name=name,
+    )
+
+
+class DownConv(nn.Module):
+    """Stride-``factor`` conv doubling channels (`layers2.py:78-84`),
+    followed by norm + activation as in `networks.py:274-280`."""
+
+    factor: int = 2
+    norm: str = "batch"
+    activation: str = "prelu"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        rank = x.ndim - 2
+        ch = x.shape[-1]
+        x = conv(ch * self.factor, self.factor, rank,
+                 strides=(self.factor,) * rank, dtype=self.dtype,
+                 param_dtype=self.param_dtype, name="conv")(x)
+        x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
+        x = Activation(self.activation, self.param_dtype, name="act")(x)
+        return x
+
+
+class UpConv(nn.Module):
+    """Stride-``factor`` transpose conv halving channels
+    (`layers2.py:88-94`) + norm + activation (`networks.py:288-294`)."""
+
+    factor: int = 2
+    norm: str = "batch"
+    activation: str = "prelu"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        rank = x.ndim - 2
+        ch = x.shape[-1]
+        x = deconv(ch // self.factor, self.factor, rank,
+                   strides=(self.factor,) * rank, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="deconv")(x)
+        x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
+        x = Activation(self.activation, self.param_dtype, name="act")(x)
+        return x

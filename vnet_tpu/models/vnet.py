@@ -1,0 +1,176 @@
+"""V-Net — rank-generic (2D/3D) encoder-decoder with residual conv blocks.
+
+TPU-native re-design of the reference's modern V-Net
+(`/root/reference/networks.py:209-365`): same topology —
+
+* input layer: 1-channel inputs are tiled to ``num_channels`` + norm
+  (`networks.py:253-259`); multichannel inputs get a 5^r conv + norm + act
+  (`networks.py:260-266`).
+* encoder level l: ``num_convolutions[l]`` x [5^r SAME conv, residual add of
+  the block input at the last conv, norm, act, dropout]
+  (`networks.py:307-322`), then a stride-2 down-conv doubling channels
+  (`networks.py:274-280`).
+* bottom: ``bottom_convolutions`` more residual convs (`networks.py:282-283`).
+* decoder level l: stride-2 transpose conv halving channels + norm + act,
+  concat with the skip feature, then 5^r convs reducing 2n->n channels with
+  a residual connection (`networks.py:285-296, 324-365`).
+* output: 1^r conv to ``num_classes`` + norm **after** the logits
+  (`networks.py:298-303`).
+
+Deliberate deviation: the reference's decoder residual adds ``norm(x)`` to
+``x`` itself (`networks.py:335-336, 358-360`) — a self-add with no skip
+path, almost certainly an accident. Here the decoder residual adds the
+up-convolved features (the block input before concat), which is the actual
+V-Net paper design and keeps gradient flow through the decoder.
+
+All convs are channels-last and feed the MXU; set ``dtype=jnp.bfloat16``
+for TPU mixed precision (params stay float32).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Activation, DownConv, Norm, UpConv, conv
+
+
+class ConvBlock(nn.Module):
+    """Residual conv block (`networks.py:307-322`): n x [5^r conv ->
+    (+input at last conv) -> norm -> act -> dropout]."""
+
+    num_convolutions: int
+    kernel_size: int = 5
+    norm: str = "batch"
+    activation: str = "prelu"
+    dropout_rate: float = 0.0
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        rank = x.ndim - 2
+        ch = x.shape[-1]
+        block_input = x
+        for i in range(self.num_convolutions):
+            x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+            if i == self.num_convolutions - 1:
+                x = x + block_input
+            x = Norm(self.norm, self.dtype, self.param_dtype,
+                     name=f"norm_{i + 1}")(x, train)
+            x = Activation(self.activation, self.param_dtype,
+                           name=f"act_{i + 1}")(x)
+            x = nn.Dropout(rate=self.dropout_rate,
+                           deterministic=not train)(x)
+        return x
+
+
+class DecoderConvBlock(nn.Module):
+    """Decoder block (`networks.py:324-365`): concat skip, 5^r convs
+    2n->n, residual from the up-convolved input (see module docstring)."""
+
+    num_convolutions: int
+    kernel_size: int = 5
+    norm: str = "batch"
+    activation: str = "prelu"
+    dropout_rate: float = 0.0
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool = True):
+        rank = x.ndim - 2
+        ch = x.shape[-1]
+        residual = x  # up-convolved features, n channels
+        x = jnp.concatenate([x, skip], axis=-1)
+        for i in range(self.num_convolutions):
+            out_ch = ch
+            x = conv(out_ch, self.kernel_size, rank, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+            if i == self.num_convolutions - 1:
+                x = x + residual
+            x = Norm(self.norm, self.dtype, self.param_dtype,
+                     name=f"norm_{i + 1}")(x, train)
+            x = Activation(self.activation, self.param_dtype,
+                           name=f"act_{i + 1}")(x)
+            x = nn.Dropout(rate=self.dropout_rate,
+                           deterministic=not train)(x)
+        return x
+
+
+class VNet(nn.Module):
+    """V-Net (https://arxiv.org/abs/1606.04797), config-compatible with
+    `/root/reference/networks.py:209-246`."""
+
+    num_classes: int
+    num_channels: int = 16
+    num_levels: int = 4
+    num_convolutions: Sequence[int] = (1, 2, 3, 3)
+    bottom_convolutions: int = 3
+    dropout_rate: float = 0.01
+    activation: str = "prelu"
+    norm: str = "batch"
+    output_norm: bool = True
+    dtype: Optional[Any] = None
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.num_levels == len(self.num_convolutions), (
+            "num_convolutions must have num_levels entries")
+        rank = x.ndim - 2
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+
+        # input layer (networks.py:253-266)
+        in_ch = x.shape[-1]
+        if in_ch == 1:
+            x = jnp.tile(x, (1,) * (rank + 1) + (self.num_channels,))
+            x = Norm(self.norm, self.dtype, self.param_dtype,
+                     name="input_norm")(x, train)
+        else:
+            x = conv(self.num_channels, 5, rank, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="input_conv")(x)
+            x = Norm(self.norm, self.dtype, self.param_dtype,
+                     name="input_norm")(x, train)
+            x = Activation(self.activation, self.param_dtype,
+                           name="input_act")(x)
+
+        # encoder (networks.py:270-280)
+        skips = []
+        for level in range(self.num_levels):
+            x = ConvBlock(self.num_convolutions[level], 5, self.norm,
+                          self.activation, self.dropout_rate, self.dtype,
+                          self.param_dtype,
+                          name=f"encoder_level_{level + 1}")(x, train)
+            skips.append(x)
+            x = DownConv(2, self.norm, self.activation, self.dtype,
+                         self.param_dtype,
+                         name=f"down_{level + 1}")(x, train)
+
+        # bottom (networks.py:282-283)
+        x = ConvBlock(self.bottom_convolutions, 5, self.norm,
+                      self.activation, self.dropout_rate, self.dtype,
+                      self.param_dtype, name="bottom")(x, train)
+
+        # decoder (networks.py:285-296)
+        for level in reversed(range(self.num_levels)):
+            x = UpConv(2, self.norm, self.activation, self.dtype,
+                       self.param_dtype, name=f"up_{level + 1}")(x, train)
+            x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
+                                 self.activation, self.dropout_rate,
+                                 self.dtype, self.param_dtype,
+                                 name=f"decoder_level_{level + 1}")(
+                                     x, skips[level], train)
+
+        # output layer (networks.py:298-303): 1^r conv (+ post-logit norm,
+        # reproduced behind a flag since it is unusual but affects parity)
+        logits = conv(self.num_classes, 1, rank, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="output_conv")(x)
+        if self.output_norm:
+            logits = Norm(self.norm, self.dtype, self.param_dtype,
+                          name="output_norm")(logits, train)
+        return logits.astype(jnp.float32)
