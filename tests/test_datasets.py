@@ -1,0 +1,150 @@
+"""Dataset + loader tests over synthetic NIfTI fixtures
+(reference NiftiDataset3D.py:10-165, NiftiDataset2D.py:39-299)."""
+
+import numpy as np
+import pytest
+
+from fixtures import make_dataset_dir
+from vnet_tpu.data import (BatchLoader, NiftiDataset2D, NiftiDataset3D,
+                           build_transform, remap_label)
+from vnet_tpu.data.rand import seed
+from vnet_tpu.io import MedicalImage
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    seed(7)
+
+
+def test_remap_label():
+    lbl = MedicalImage(np.array([[[0, 1], [2, 5]]], np.uint8))
+    out = remap_label(lbl, [0, 2, 5])
+    # 0->0, 2->1, 5->2, unlisted 1 -> 0   (NiftiDataset3D.py:119-137)
+    np.testing.assert_array_equal(out.data, [[[0, 0], [1, 2]]])
+
+
+def test_dataset3d_train(tmp_path, rng):
+    root, names, fnames = make_dataset_dir(str(tmp_path), "training",
+                                           num_cases=2, rng=rng)
+    ds = NiftiDataset3D(root, fnames, "label.nii", transforms=[], train=True,
+                        labels=[0, 1])
+    assert len(ds) == 2
+    img, lbl = ds.get_sample(0)
+    assert img.shape == (24, 24, 16, 1)
+    assert img.dtype == np.float32
+    assert lbl.shape == (24, 24, 16)
+    assert lbl.dtype == np.int32
+    assert lbl.sum() > 0
+
+
+def test_dataset3d_infer_empty_label(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "evaluate",
+                                       num_cases=1, rng=rng)
+    ds = NiftiDataset3D(root, fnames, "label.nii", train=False)
+    _, lbl = ds.get_sample(0)
+    assert lbl.sum() == 0
+
+
+def test_dataset3d_multichannel_and_header_check(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training", num_cases=1,
+                                       rng=rng, num_channels=2)
+    ds = NiftiDataset3D(root, fnames, "label.nii", train=True)
+    img, _ = ds.get_sample(0)
+    assert img.shape[-1] == 2
+
+
+def test_dataset3d_header_mismatch_raises(tmp_path, rng):
+    from vnet_tpu.io import write_image
+    root, names, fnames = make_dataset_dir(str(tmp_path), "training",
+                                           num_cases=1, rng=rng)
+    # overwrite label with wrong spacing
+    bad = MedicalImage(np.zeros((24, 24, 16), np.uint8), (2.0, 2.0, 2.0))
+    write_image(bad, str(tmp_path / "training" / names[0] / "label.nii"))
+    ds = NiftiDataset3D(root, fnames, "label.nii", train=True)
+    with pytest.raises(ValueError, match="Header info inconsistent"):
+        ds.get_sample(0)
+
+
+def test_dataset3d_with_transforms(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=1, rng=rng)
+    transforms = [
+        build_transform(3, "ManualNormalization",
+                        {"windowMin": 0, "windowMax": 200}),
+        build_transform(3, "Padding", {"output_size": [32, 32, 32]}),
+        build_transform(3, "RandomCrop",
+                        {"output_size": [16, 16, 16], "drop_ratio": 1.0,
+                         "min_pixel": 1}),
+    ]
+    ds = NiftiDataset3D(root, fnames, "label.nii", transforms=transforms,
+                        train=True)
+    img, lbl = ds.get_sample(0)
+    assert img.shape == (16, 16, 16, 1)
+    assert lbl.shape == (16, 16, 16)
+    assert 0.0 <= img.min() and img.max() <= 255.0
+
+
+def test_transform_error_wrapped(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=1, rng=rng)
+
+    class Boom:
+        name = "Boom"
+
+        def __call__(self, sample):
+            raise RuntimeError("kaput")
+
+    ds = NiftiDataset3D(root, fnames, "label.nii", transforms=[Boom()],
+                        train=True)
+    with pytest.raises(RuntimeError, match="Dataset preprocessing error"):
+        ds.get_sample(0)
+
+
+def test_loader_batching(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=3, rng=rng)
+    ds = NiftiDataset3D(root, fnames, "label.nii", train=True)
+    loader = BatchLoader(ds, batch_size=2, shuffle=True, drop_remainder=True,
+                         num_workers=2, seed=0)
+    batches = list(loader.epoch())
+    assert len(batches) == 1  # 3 samples, batch 2, drop remainder
+    img, lbl = batches[0]
+    assert img.shape == (2, 24, 24, 16, 1)
+    assert lbl.shape == (2, 24, 24, 16)
+
+
+def test_loader_sync_equals_threaded(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=2, rng=rng)
+    ds = NiftiDataset3D(root, fnames, "label.nii", train=True)
+    a = list(BatchLoader(ds, 2, shuffle=False, num_workers=0).epoch())
+    b = list(BatchLoader(ds, 2, shuffle=False, num_workers=3).epoch())
+    np.testing.assert_allclose(a[0][0], b[0][0])
+    np.testing.assert_array_equal(a[0][1], b[0][1])
+
+
+def test_dataset2d_inventory_and_samples(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=2, rng=rng)
+    ds = NiftiDataset2D(root, fnames, "label.nii", train=True,
+                        labels=[0, 1], min_pixel=5, drop_ratio=0.0)
+    # only slices through the sphere (radius 5 around z=8) survive
+    assert 0 < len(ds) < 2 * 16
+    img, lbl = ds.get_sample(0)
+    assert img.shape == (24, 24, 1)
+    assert lbl.shape == (24, 24)
+    assert lbl.sum() > 5
+
+
+def test_dataset2d_with_2d_transforms(tmp_path, rng):
+    root, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                       num_cases=1, rng=rng)
+    t2 = [build_transform(2, "Padding", {"output_size": [32, 32]}),
+          build_transform(2, "RandomCrop",
+                          {"output_size": [16, 16], "drop_ratio": 1.0,
+                           "min_pixel": 1})]
+    ds = NiftiDataset2D(root, fnames, "label.nii", transforms2D=t2,
+                        train=True, min_pixel=5, drop_ratio=0.0)
+    img, lbl = ds.get_sample(0)
+    assert img.shape == (16, 16, 1)
+    assert lbl.shape == (16, 16)

@@ -1,0 +1,121 @@
+"""2D slice dataset with a labelled-slice inventory.
+
+Equivalent of `/root/reference/pipeline/NiftiDataset2D.py:39-299`: a
+pre-pass over all cases builds a slice list — a z-slice is kept if its
+smallest per-class pixel count exceeds ``min_pixel``, otherwise kept with
+probability ``drop_ratio`` (`NiftiDataset2D.py:93-135`); samples apply 3D
+transforms to the volume, extract the slice, then apply 2D transforms
+(`NiftiDataset2D.py:242-279`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..io.nifti import MedicalImage, read_image, zeros_like_geometry
+from .dataset3d import check_consistent_headers, list_cases, remap_label
+from .rand import get_rng
+
+
+def slice_min_class_count(label_slice: np.ndarray, classes: Sequence[int]) -> int:
+    """Smallest pixel count among the non-background classes; 0 if any class
+    is absent (`NiftiDataset2D.py:110-124`)."""
+    min_pixel = np.iinfo(np.int64).max
+    for value in classes:
+        if value == 0:
+            continue
+        count = int(np.count_nonzero(label_slice == value))
+        if count == 0:
+            return 0
+        min_pixel = min(min_pixel, count)
+    return 0 if min_pixel == np.iinfo(np.int64).max else min_pixel
+
+
+class NiftiDataset2D:
+    """Iterable over (case, z) slices yielding ``(image[x,y,C] f32,
+    label[x,y] i32)``."""
+
+    def __init__(self, data_dir: str = "", image_filenames=("image.nii",),
+                 label_filename: str = "label.nii", transforms3D=None,
+                 transforms2D=None, train: bool = False,
+                 labels: Sequence[int] = (0, 1), min_pixel: int = 5,
+                 drop_ratio: float = 0.1):
+        self.data_dir = data_dir
+        self.image_filenames = list(image_filenames)
+        self.label_filename = label_filename
+        self.transforms3D = transforms3D or []
+        self.transforms2D = transforms2D or []
+        self.train = train
+        self.labels = list(labels)
+        self.min_pixel = min_pixel
+        self.drop_ratio = drop_ratio
+        self.slices: List[Tuple[str, int]] = self._build_inventory()
+
+    def _build_inventory(self) -> List[Tuple[str, int]]:
+        rng = get_rng()
+        slices = []
+        for case in list_cases(self.data_dir):
+            label = read_image(
+                os.path.join(self.data_dir, case, self.label_filename))
+            for z in range(label.GetSize()[2]):
+                count = slice_min_class_count(label.data[:, :, z], self.labels)
+                if count > self.min_pixel:
+                    slices.append((case, z))
+                elif rng.random() <= self.drop_ratio:
+                    slices.append((case, z))
+        rng.shuffle(slices)  # NiftiDataset2D.py:138
+        return [(c, int(z)) for c, z in slices]
+
+    def __len__(self):
+        return len(self.slices)
+
+    @property
+    def data_size(self):
+        return len(self.slices)
+
+    def _extract_slice(self, img: MedicalImage, z: int) -> MedicalImage:
+        """sitk ExtractImageFilter along z (`NiftiDataset2D.py:258-270`)."""
+        D = img.direction_matrix()
+        return MedicalImage(np.ascontiguousarray(img.data[:, :, z]),
+                            img.spacing[:2],
+                            img.TransformIndexToPhysicalPoint((0, 0, z))[:2],
+                            tuple(D[:2, :2].ravel()))
+
+    def get_sample(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        case, z = self.slices[index]
+        images = []
+        for fname in self.image_filenames:
+            path = os.path.join(self.data_dir, case, fname)
+            images.append(read_image(path).astype(np.float32))
+        check_consistent_headers(images, os.path.join(self.data_dir, case))
+
+        if self.train:
+            lpath = os.path.join(self.data_dir, case, self.label_filename)
+            label = read_image(lpath)
+            check_consistent_headers([images[0], label], lpath)
+            label = remap_label(label, self.labels)
+        else:
+            label = zeros_like_geometry(images[0])
+
+        sample = {"image": images, "label": label}
+        for transform in self.transforms3D:
+            sample = transform(sample)
+
+        images2d = [self._extract_slice(im, z) for im in sample["image"]]
+        label2d = self._extract_slice(sample["label"], z)
+        sample = {"image": images2d, "label": label2d}
+        for transform in self.transforms2D:
+            sample = transform(sample)
+
+        image_np = np.stack(
+            [np.asarray(im.data, dtype=np.float32) for im in sample["image"]],
+            axis=-1)
+        label_np = np.asarray(sample["label"].data, dtype=np.int32)
+        return image_np, label_np
+
+    def __iter__(self):
+        for i in range(len(self.slices)):
+            yield self.get_sample(i)

@@ -1,0 +1,118 @@
+"""Prefetching batch loader.
+
+Replaces the reference's serialized ``tf.data.map(py_func,
+num_parallel_calls=1)`` + feed_dict round trip
+(`/root/reference/pipeline/NiftiDataset3D.py:47-50`,
+`/root/reference/model.py:735-748`) with a thread-pool prefetcher: worker
+threads run the (numpy/scipy, largely GIL-releasing) sample parsers ahead
+of the training loop, batches are assembled pinned-contiguous and handed to
+``jax.device_put`` so the accelerator never waits on SimpleITK-style host
+work. Epoch semantics match the reference: shuffle each epoch, fixed batch
+size, ``drop_remainder`` (`model.py:289-293`).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from .rand import get_rng
+
+
+class BatchLoader:
+    """Iterate epochs of batches over a dataset with worker prefetch.
+
+    Args:
+      dataset: object with ``__len__`` and ``get_sample(i) -> (img, lbl)``.
+      batch_size: samples per batch.
+      shuffle: reshuffle sample order each epoch.
+      drop_remainder: drop the trailing partial batch (reference behavior).
+      num_workers: prefetch threads (0 = synchronous).
+      prefetch: max ready samples buffered ahead.
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 drop_remainder: bool = True, num_workers: int = 2,
+                 prefetch: int = 8, seed: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, batch_size)
+        self._epoch_rng = np.random.default_rng(seed)
+
+    def _order(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._epoch_rng.shuffle(order)
+        return order
+
+    def _iter_samples_sync(self, order) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        for i in order:
+            yield self.dataset.get_sample(int(i))
+
+    def _iter_samples_threaded(self, order) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        task_q: "queue.Queue" = queue.Queue()
+        done_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        for pos, i in enumerate(order):
+            task_q.put((pos, int(i)))
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    pos, i = task_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    done_q.put((pos, self.dataset.get_sample(i), None))
+                except Exception as e:  # surface errors on the main thread
+                    done_q.put((pos, None, e))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        # re-order results into submission order so epochs are reproducible
+        pending = {}
+        next_pos = 0
+        try:
+            for _ in range(len(order)):
+                while next_pos not in pending:
+                    pos, sample, err = done_q.get()
+                    pending[pos] = (sample, err)
+                sample, err = pending.pop(next_pos)
+                next_pos += 1
+                if err is not None:
+                    raise err
+                yield sample
+        finally:
+            stop.set()
+            while not task_q.empty():
+                try:
+                    task_q.get_nowait()
+                except queue.Empty:
+                    break
+
+    def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield ``(images[B,...,C], labels[B,...])`` numpy batches."""
+        order = self._order()
+        it = (self._iter_samples_threaded(order) if self.num_workers > 0
+              else self._iter_samples_sync(order))
+        imgs, lbls = [], []
+        for img, lbl in it:
+            imgs.append(img)
+            lbls.append(lbl)
+            if len(imgs) == self.batch_size:
+                yield np.stack(imgs), np.stack(lbls)
+                imgs, lbls = [], []
+        if imgs and not self.drop_remainder:
+            yield np.stack(imgs), np.stack(lbls)
+
+    def __iter__(self):
+        return self.epoch()
