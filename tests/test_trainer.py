@@ -1,0 +1,166 @@
+"""End-to-end training smoke tests on a virtual 8-device CPU mesh
+(reference train loop semantics model.py:632-815)."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_dataset_dir
+from vnet_tpu.config import load_config
+from vnet_tpu.train import Trainer
+
+
+def write_config(tmp_path, rng, batch_size=2, patch=(16, 16, 16),
+                 max_iterations=3, num_cases=2, testing=False, **overrides):
+    train_dir, _, fnames = make_dataset_dir(str(tmp_path), "training",
+                                            num_cases=num_cases, rng=rng)
+    test_dir, _, _ = make_dataset_dir(str(tmp_path), "testing",
+                                      num_cases=1, rng=rng)
+    pipeline = {
+        "preprocess": {
+            phase: {"3D": [
+                {"name": "ManualNormalization",
+                 "variables": {"windowMin": 0, "windowMax": 200}},
+                {"name": "Padding", "variables": {"output_size": list(patch)}},
+                {"name": "RandomCrop",
+                 "variables": {"output_size": list(patch), "drop_ratio": 1.0,
+                               "min_pixel": 1}},
+            ]} for phase in ("train", "test", "evaluate")
+        }
+    }
+    ppath = str(tmp_path / "pipeline.yaml")
+    with open(ppath, "w") as f:
+        yaml.safe_dump(pipeline, f)
+
+    cfg_tree = {
+        "TrainingSetting": {
+            "Data": {
+                "TrainingDataDirectory": train_dir,
+                "TestingDataDirectory": test_dir,
+                "ImageFilenames": list(fnames),
+                "LabelFilename": "label.nii",
+            },
+            "Restore": True,
+            "SegmentationClasses": [0, 1],
+            "LogDir": str(tmp_path / "log"),
+            "CheckpointDir": str(tmp_path / "ckpt"),
+            "BatchSize": batch_size,
+            "PatchShape": list(patch),
+            "Testing": testing,
+            "TestStep": 2,
+            "Epoches": 2,
+            "MaxIterations": max_iterations,
+            "LogInterval": 2,
+            "Networks": {
+                "Name": "VNet", "Dropout": 0.01, "NumChannel": 4,
+                "NumLevels": 2, "NumCovolutions": [1, 1],  # typo on purpose
+                "BottomConvolutions": 1,
+            },
+            "Loss": {"Name": "sorensen", "Weights": [], "Alpha": 1},
+            "Optimizer": {
+                "Name": "Adam", "InitialLearningRate": 1e-3,
+                "Decay": {"Factor": 0.99, "Steps": 100},
+            },
+            "Spacing": [1.0, 1.0, 1.5],
+            "DropRatio": 0.01,
+            "MinPixel": 1,
+            "Pipeline": ppath,
+            **overrides,
+        },
+        "EvaluationSetting": {
+            "Data": {
+                "EvaluateDataDirectory": str(tmp_path / "evaluate"),
+                "ImageFilenames": list(fnames),
+                "LabelFilename": "label_out.nii.gz",
+                "ProbabilityFilename": "probability.nii.gz",
+            },
+            "CheckpointPath": str(tmp_path / "ckpt"),
+            "Stride": list(patch),
+            "BatchSize": 2,
+            "ProbabilityOutput": False,
+            "Pipeline": ppath,
+        },
+    }
+    cpath = str(tmp_path / "config.json")
+    with open(cpath, "w") as f:
+        json.dump(cfg_tree, f)
+    return cpath
+
+
+def test_config_parses_typo_alias(tmp_path, rng):
+    cfg = load_config(write_config(tmp_path, rng))
+    assert cfg.train.network.num_convolutions == (1, 1)
+    assert cfg.train.dimension == 3
+    assert cfg.train.num_classes == 2
+
+
+def test_single_train_step_decreases_nothing_weird(tmp_path, rng):
+    cfg = load_config(write_config(tmp_path, rng))
+    trainer = Trainer(cfg, log=False)
+    state = trainer.init_state()
+    images = rng.normal(size=trainer.batch_shape()).astype(np.float32)
+    labels = (rng.random(trainer.batch_shape()[:-1]) > 0.7).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+    state1, out1 = trainer.train_step(state, images, labels, key)
+    assert np.isfinite(out1.loss)
+    assert int(state1.step) == 1
+    state2, out2 = trainer.train_step(state1, images, labels, key)
+    assert int(state2.step) == 2
+    assert "accuracy" in out2.metrics
+
+
+def test_train_step_is_sharded_over_mesh(tmp_path, rng):
+    cfg = load_config(write_config(tmp_path, rng, batch_size=8))
+    trainer = Trainer(cfg, log=False)
+    assert trainer.mesh.devices.size == 8
+    state = trainer.init_state()
+    images = rng.normal(size=trainer.batch_shape()).astype(np.float32)
+    labels = np.zeros(trainer.batch_shape()[:-1], np.int32)
+    state, out = trainer.train_step(state, images, labels,
+                                    jax.random.PRNGKey(0))
+    assert np.isfinite(out.loss)
+
+
+def test_full_train_loop_and_resume(tmp_path, rng):
+    cfg = load_config(write_config(tmp_path, rng, max_iterations=2))
+    trainer = Trainer(cfg, log=False)
+    state = trainer.train()
+    assert int(state.step) == 2  # hit MaxIterations
+
+    # resume: a new trainer restores step/epoch from checkpoint-latest
+    trainer2 = Trainer(cfg, log=False)
+    cfg.train.max_iterations = 3
+    state2 = trainer2.train()
+    assert int(state2.step) == 3
+
+
+def test_loss_decreases_over_steps(tmp_path, rng):
+    """Learnable toy task: loss after 15 steps < first loss."""
+    cfg = load_config(write_config(tmp_path, rng))
+    trainer = Trainer(cfg, log=False)
+    state = trainer.init_state()
+    images = rng.normal(size=trainer.batch_shape()).astype(np.float32)
+    labels = (images[..., 0] > 0.5).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+    first = None
+    for _ in range(15):
+        state, out = trainer.train_step(state, images, labels, key)
+        if first is None:
+            first = out.loss
+    assert out.loss < first
+
+
+def test_restore_false_wipes_dirs(tmp_path, rng):
+    cpath = write_config(tmp_path, rng, max_iterations=1)
+    cfg = load_config(cpath)
+    os.makedirs(cfg.train.log_dir, exist_ok=True)
+    marker = os.path.join(cfg.train.log_dir, "stale.txt")
+    with open(marker, "w") as f:
+        f.write("old")
+    cfg.train.restore = False
+    Trainer(cfg, log=False).train()
+    assert not os.path.exists(marker)  # model.py:678-687

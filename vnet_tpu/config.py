@@ -1,0 +1,256 @@
+"""Config system: the reference's JSON schema, validated into dataclasses.
+
+Schema parity with ``TrainingSetting`` / ``EvaluationSetting`` as consumed
+by `/root/reference/model.py:185-245` and documented in
+`configs/config_sample.json`. Fixes the reference's known schema traps
+(SURVEY.md §5.6): the ``NumCovolutions`` -> ``NumConvolutions`` typo gets a
+back-compat alias, missing keys produce a clear error naming the JSON path
+instead of a bare KeyError, and 2D/3D mode is still inferred from
+``len(PatchShape)`` (`model.py:200`) but validated.
+
+TPU-native additions (all optional, defaulted):
+``Precision`` ("float32" | "bfloat16"), ``Norm`` ("batch" | "batch_stats" |
+"group" | "instance"), ``Mesh`` (data-parallel axis size; 0 = all devices),
+``GaussianBlend`` for evaluation, ``Seed``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence
+
+import yaml
+
+
+class ConfigError(ValueError):
+    pass
+
+
+_MISSING = object()
+
+
+def _get(tree: dict, path: Sequence[str], default: Any = _MISSING):
+    node = tree
+    for i, key in enumerate(path):
+        if not isinstance(node, dict) or key not in node:
+            if default is not _MISSING:
+                return default
+            raise ConfigError(
+                "Missing config key: " + ".".join(path[: i + 1]))
+        node = node[key]
+    return node
+
+
+@dataclass
+class NetworkConfig:
+    name: str = "VNet"
+    dropout: float = 0.01
+    num_channel: int = 16
+    num_levels: int = 4
+    num_convolutions: tuple = (1, 2, 3, 3)
+    bottom_convolutions: int = 3
+    attention: bool = False
+    norm: str = "batch"
+
+
+@dataclass
+class LossConfig:
+    name: str = "sorensen"
+    weights: tuple = ()
+    alpha: float = 1.0
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "Adam"
+    initial_learning_rate: float = 1e-2
+    momentum: float = 0.9
+    decay_factor: float = 0.99
+    decay_steps: int = 100
+
+
+@dataclass
+class TrainingConfig:
+    data_dir: str = ""
+    test_data_dir: str = ""
+    image_filenames: tuple = ("image.nii",)
+    label_filename: str = "label.nii"
+    batch_size: int = 1
+    patch_shape: tuple = (64, 64, 64)
+    segmentation_classes: tuple = (0, 1)
+    restore: bool = True
+    log_dir: str = "./tmp/log"
+    ckpt_dir: str = "./tmp/ckpt"
+    epochs: int = 999999999
+    max_iterations: int = 15000
+    log_interval: int = 50
+    image_log: bool = False
+    testing: bool = False
+    test_step: int = 100
+    network: NetworkConfig = field(default_factory=NetworkConfig)
+    loss: LossConfig = field(default_factory=LossConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    spacing: tuple = ()
+    drop_ratio: float = 0.01
+    min_pixel: int = 30
+    pipeline_path: str = ""
+    # TPU-native extensions
+    precision: str = "float32"
+    mesh_data_parallel: int = 0  # 0 = all visible devices
+    seed: int = 0
+
+    @property
+    def dimension(self) -> int:
+        return len(self.patch_shape)
+
+    @property
+    def input_channels(self) -> int:
+        return len(self.image_filenames)
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.segmentation_classes)
+
+
+@dataclass
+class EvaluationConfig:
+    data_dir: str = ""
+    image_filenames: tuple = ("image.nii",)
+    label_filename: str = "label_tf.nii.gz"
+    probability_filename: str = "probability_tf.nii.gz"
+    checkpoint_path: str = ""
+    stride: tuple = (64, 64, 64)
+    batch_size: int = 10
+    probability_output: bool = False
+    largest_connected_component: bool = False
+    volume_threshold: float = 0.0
+    pipeline_path: str = ""
+    # TPU-native extension: cosine-window (Gaussian-like) patch blending
+    gaussian_blend: bool = False
+
+
+@dataclass
+class Config:
+    train: TrainingConfig
+    evaluate: EvaluationConfig
+    raw: dict = field(default_factory=dict)
+
+
+def _network_config(tree: dict) -> NetworkConfig:
+    net = _get(tree, ["TrainingSetting", "Networks"], {})
+    # NumCovolutions typo back-compat (configs/config.json:29 vs model.py:216)
+    num_conv = net.get("NumConvolutions", net.get("NumCovolutions", (1, 2, 3, 3)))
+    if isinstance(num_conv, int):
+        num_conv = (num_conv,)
+    return NetworkConfig(
+        name=net.get("Name", "VNet"),
+        dropout=float(net.get("Dropout", 0.01)),
+        num_channel=int(net.get("NumChannel", 16)),
+        num_levels=int(net.get("NumLevels", 4)),
+        num_convolutions=tuple(num_conv),
+        bottom_convolutions=int(net.get("BottomConvolutions", 3)),
+        attention=bool(net.get("Attention", False)),
+        norm=net.get("Norm", "batch"),
+    )
+
+
+def parse_config(tree: dict) -> Config:
+    """Build a validated Config from the parsed JSON tree
+    (key paths follow `model.py:185-245`)."""
+    ts = _get(tree, ["TrainingSetting"], {})
+    patch_shape = tuple(_get(tree, ["TrainingSetting", "PatchShape"], (64, 64, 64)))
+    if len(patch_shape) not in (2, 3):
+        raise ConfigError(
+            "Invalid Patch Shape (length should be 2 or 3)")  # model.py:309
+
+    loss_tree = ts.get("Loss", {})
+    opt_tree = ts.get("Optimizer", {})
+    decay = opt_tree.get("Decay", {})
+
+    train = TrainingConfig(
+        data_dir=_get(tree, ["TrainingSetting", "Data", "TrainingDataDirectory"], ""),
+        test_data_dir=_get(tree, ["TrainingSetting", "Data", "TestingDataDirectory"], ""),
+        image_filenames=tuple(_get(tree, ["TrainingSetting", "Data", "ImageFilenames"], ("image.nii",))),
+        label_filename=_get(tree, ["TrainingSetting", "Data", "LabelFilename"], "label.nii"),
+        batch_size=int(ts.get("BatchSize", 1)),
+        patch_shape=patch_shape,
+        segmentation_classes=tuple(ts.get("SegmentationClasses", (0, 1))),
+        restore=bool(ts.get("Restore", True)),
+        log_dir=ts.get("LogDir", "./tmp/log"),
+        ckpt_dir=ts.get("CheckpointDir", "./tmp/ckpt"),
+        epochs=int(ts.get("Epoches", 999999999)),
+        max_iterations=int(ts.get("MaxIterations", 15000)),
+        log_interval=int(ts.get("LogInterval", 50)),
+        image_log=bool(ts.get("ImageLog", False)),
+        testing=bool(ts.get("Testing", False)),
+        test_step=int(ts.get("TestStep", 100)),
+        network=_network_config(tree),
+        loss=LossConfig(
+            name=loss_tree.get("Name", "sorensen"),
+            weights=tuple(loss_tree.get("Weights", ()) or ()),
+            alpha=float(loss_tree.get("Alpha", 1.0)),
+        ),
+        optimizer=OptimizerConfig(
+            name=opt_tree.get("Name", "Adam"),
+            initial_learning_rate=float(opt_tree.get("InitialLearningRate", 1e-2)),
+            momentum=float(opt_tree.get("Momentum", 0.9)),
+            decay_factor=float(decay.get("Factor", 0.99)),
+            decay_steps=int(decay.get("Steps", 100)),
+        ),
+        spacing=tuple(ts.get("Spacing", ()) or ()),
+        drop_ratio=float(ts.get("DropRatio", 0.01)),
+        min_pixel=int(ts.get("MinPixel", 30)),
+        pipeline_path=ts.get("Pipeline", ""),
+        precision=ts.get("Precision", "float32"),
+        mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
+                               if isinstance(ts.get("Mesh"), dict) else 0),
+        seed=int(ts.get("Seed", 0)),
+    )
+
+    es = tree.get("EvaluationSetting", {})
+    evaluate = EvaluationConfig(
+        data_dir=_get(tree, ["EvaluationSetting", "Data", "EvaluateDataDirectory"], ""),
+        image_filenames=tuple(_get(tree, ["EvaluationSetting", "Data", "ImageFilenames"],
+                                   train.image_filenames)),
+        label_filename=_get(tree, ["EvaluationSetting", "Data", "LabelFilename"],
+                            "label_tf.nii.gz"),
+        probability_filename=_get(tree, ["EvaluationSetting", "Data", "ProbabilityFilename"],
+                                  "probability_tf.nii.gz"),
+        checkpoint_path=es.get("CheckpointPath", ""),
+        stride=tuple(es.get("Stride", patch_shape)),
+        batch_size=int(es.get("BatchSize", 10)),
+        probability_output=bool(es.get("ProbabilityOutput", False)),
+        largest_connected_component=bool(es.get("LargestConnectedComponent", False)),
+        volume_threshold=float(es.get("VolumeThreshold", 0.0)),
+        pipeline_path=es.get("Pipeline", train.pipeline_path),
+        gaussian_blend=bool(es.get("GaussianBlend", False)),
+    )
+
+    if len(evaluate.stride) != len(patch_shape):
+        raise ConfigError("EvaluationSetting.Stride rank must match PatchShape")
+
+    return Config(train=train, evaluate=evaluate, raw=tree)
+
+
+def load_config(path: str) -> Config:
+    with open(path) as f:
+        tree = json.load(f)
+    cfg = parse_config(tree)
+    # resolve pipeline paths relative to the config file, like the reference
+    # resolves them relative to CWD — relative-to-config is less surprising.
+    base = os.path.dirname(os.path.abspath(path))
+    for c, attr in ((cfg.train, "pipeline_path"), (cfg.evaluate, "pipeline_path")):
+        p = getattr(c, attr)
+        if p and not os.path.isabs(p) and not os.path.exists(p):
+            cand = os.path.join(base, p)
+            if os.path.exists(cand):
+                setattr(c, attr, cand)
+    return cfg
+
+
+def load_pipeline(path: str) -> dict:
+    """Parse a preprocessing pipeline YAML (`model.py:341-342`)."""
+    with open(path) as f:
+        return yaml.safe_load(f)
