@@ -1,0 +1,144 @@
+"""Sliding-window grid + blending golden tests
+(reference model.py:866-937 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vnet_tpu.infer import (SlidingWindowInference, build_patch_grid,
+                            cosine_window, patch_starts_1d)
+
+
+def test_patch_starts_exact_fit():
+    # dim 8, patch 4, stride 4 -> starts 0, 4
+    assert patch_starts_1d(8, 4, 4) == [0, 4]
+
+
+def test_patch_starts_clamped():
+    # dim 10, patch 4, stride 4: ceil((10-4)/4)+1 = 3 starts; last clamped
+    # to 6 (model.py:881-893)
+    assert patch_starts_1d(10, 4, 4) == [0, 4, 6]
+
+
+def test_patch_starts_patch_equals_dim():
+    assert patch_starts_1d(4, 4, 4) == [0]
+
+
+def test_build_patch_grid_order():
+    grid = build_patch_grid((8, 8, 4), (4, 4, 4), (4, 4, 4))
+    assert grid.shape == (4, 3)
+    # k fastest (model.py:874-876 loop order)
+    np.testing.assert_array_equal(grid[0], [0, 0, 0])
+    np.testing.assert_array_equal(grid[1], [0, 4, 0])
+    np.testing.assert_array_equal(grid[2], [4, 0, 0])
+
+
+def test_full_coverage_weight():
+    """Every voxel visited at least once; uniform stride=patch -> weight 1."""
+    def apply_fn(variables, patches):
+        b = patches.shape[0]
+        return jnp.zeros(patches.shape[:-1] + (2,))
+
+    eng = SlidingWindowInference(apply_fn, (4, 4, 4), (4, 4, 4),
+                                 batch_size=2, num_classes=2)
+    vol = np.zeros((8, 8, 8, 1), np.float32)
+    acc, weight = eng({}, vol)
+    np.testing.assert_allclose(np.asarray(weight), 1.0)
+
+
+def test_overlap_blending_averages():
+    """With stride < patch, overlapping softmax accumulates and the
+    weighted average is position-independent for a constant predictor."""
+    def apply_fn(variables, patches):
+        logits = jnp.zeros(patches.shape[:-1] + (2,))
+        return logits.at[..., 1].set(2.0)  # constant confidence
+
+    eng = SlidingWindowInference(apply_fn, (4, 4, 4), (2, 2, 2),
+                                 batch_size=3, num_classes=2)
+    vol = np.zeros((8, 8, 8, 1), np.float32)
+    acc, weight = eng({}, vol)
+    acc, weight = np.asarray(acc), np.asarray(weight)
+    assert weight.min() >= 1.0
+    assert weight.max() > 1.0  # overlaps exist
+    prob = acc[..., 1] / weight
+    expected = float(jnp.exp(2.0) / (1.0 + jnp.exp(2.0)))
+    np.testing.assert_allclose(prob, expected, rtol=1e-5)
+
+
+def test_blend_matches_naive_numpy():
+    """Golden test: identity network on volume values -> blended result
+    equals a naive host loop."""
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(6, 6, 6, 1)).astype(np.float32)
+
+    def apply_fn(variables, patches):
+        # logits: class1 = patch value, class0 = 0
+        v = patches[..., 0]
+        return jnp.stack([jnp.zeros_like(v), v], axis=-1)
+
+    patch, stride = (4, 4, 4), (2, 2, 2)
+    eng = SlidingWindowInference(apply_fn, patch, stride, batch_size=2,
+                                 num_classes=2)
+    acc, weight = eng({}, vol)
+
+    # naive accumulation
+    import itertools
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    starts = [0, 2]
+    acc_ref = np.zeros((6, 6, 6, 2), np.float32)
+    w_ref = np.zeros((6, 6, 6), np.float32)
+    for i, j, k in itertools.product(starts, repeat=3):
+        p = vol[i:i + 4, j:j + 4, k:k + 4, 0]
+        logits = np.stack([np.zeros_like(p), p], -1)
+        acc_ref[i:i + 4, j:j + 4, k:k + 4] += softmax(logits)
+        w_ref[i:i + 4, j:j + 4, k:k + 4] += 1.0
+
+    np.testing.assert_allclose(np.asarray(weight), w_ref, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(acc), acc_ref, rtol=1e-4)
+
+
+def test_padded_tail_patches_do_not_change_argmax():
+    """Grid size not divisible by batch: padded duplicate patches only add
+    weight, never change the argmax."""
+    def apply_fn(variables, patches):
+        v = patches[..., 0]
+        return jnp.stack([jnp.zeros_like(v), v], axis=-1)
+
+    vol = np.random.default_rng(1).normal(size=(6, 6, 6, 1)).astype(np.float32)
+    a1 = SlidingWindowInference(apply_fn, (4, 4, 4), (2, 2, 2), 3, 2)({}, vol)
+    a2 = SlidingWindowInference(apply_fn, (4, 4, 4), (2, 2, 2), 8, 2)({}, vol)
+    l1 = np.argmax(np.asarray(a1[0]), -1)
+    l2 = np.argmax(np.asarray(a2[0]), -1)
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_cosine_window_properties():
+    w = cosine_window((8, 8))
+    assert w.shape == (8, 8)
+    assert w.min() > 0
+    assert w.max() <= 1.0
+    # symmetric, centre-heavy
+    np.testing.assert_allclose(w, w[::-1, ::-1], rtol=1e-6)
+    assert w[4, 4] > w[0, 0]
+
+
+def test_2d_mode():
+    def apply_fn(variables, patches):
+        v = patches[..., 0]
+        return jnp.stack([jnp.zeros_like(v), v], axis=-1)
+
+    vol = np.random.default_rng(2).normal(size=(8, 6, 1)).astype(np.float32)
+    eng = SlidingWindowInference(apply_fn, (4, 4), (2, 2), 2, 2)
+    acc, weight = eng({}, vol)
+    assert np.asarray(acc).shape == (8, 6, 2)
+    assert np.asarray(weight).min() >= 1.0
+
+
+def test_volume_smaller_than_patch_raises():
+    eng = SlidingWindowInference(lambda v, p: p, (8, 8, 8), (4, 4, 4), 1, 2)
+    with pytest.raises(ValueError, match="pad first"):
+        eng({}, np.zeros((4, 4, 4, 1), np.float32))

@@ -20,16 +20,20 @@ def write_config(tmp_path, rng, batch_size=2, patch=(16, 16, 16),
                                             num_cases=num_cases, rng=rng)
     test_dir, _, _ = make_dataset_dir(str(tmp_path), "testing",
                                       num_cases=1, rng=rng)
+    base = [
+        {"name": "ManualNormalization",
+         "variables": {"windowMin": 0, "windowMax": 200}},
+        {"name": "Padding", "variables": {"output_size": list(patch)}},
+    ]
+    crop = [{"name": "RandomCrop",
+             "variables": {"output_size": list(patch), "drop_ratio": 1.0,
+                           "min_pixel": 1}}]
     pipeline = {
         "preprocess": {
-            phase: {"3D": [
-                {"name": "ManualNormalization",
-                 "variables": {"windowMin": 0, "windowMax": 200}},
-                {"name": "Padding", "variables": {"output_size": list(patch)}},
-                {"name": "RandomCrop",
-                 "variables": {"output_size": list(patch), "drop_ratio": 1.0,
-                               "min_pixel": 1}},
-            ]} for phase in ("train", "test", "evaluate")
+            "train": {"3D": base + crop},
+            "test": {"3D": base + crop},
+            # evaluation keeps full volumes (pipeline3D.yaml:36-50)
+            "evaluate": {"3D": base},
         }
     }
     ppath = str(tmp_path / "pipeline.yaml")

@@ -1,0 +1,227 @@
+"""Whole-volume evaluation: transforms -> sliding window -> header restore.
+
+Counterpart of ``image2label.evaluate`` and ``evaluate_single_{3D,2D}``
+(`/root/reference/model.py:817-1243`): per case, read the image channels,
+apply the evaluation transform chain, run the overlap-tiled sliding window
+(on device, ``vnet_tpu.infer.sliding_window``), argmax the blended softmax,
+rebuild geometry, resample the label (nearest) and optional per-class
+probability maps (linear, softmax/weight) back onto the ORIGINAL image
+grid, then largest-connected-component / volume-threshold post-processing
+and NIfTI output (`model.py:1217-1243`).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_pipeline
+from ..data import build_pipeline, list_cases
+from ..data.dataset2d import NiftiDataset2D
+from ..io import (MedicalImage, read_image, resample_like, write_image,
+                  zeros_like_geometry)
+from ..io.resample import LINEAR, NEAREST, pad_to_size
+from ..models import build_network
+from .postprocess import extract_largest_connected_component, volume_threshold
+from .sliding_window import SlidingWindowInference
+
+
+def _stack_channels(images: List[MedicalImage]) -> np.ndarray:
+    return np.stack([np.asarray(im.data, np.float32) for im in images],
+                    axis=-1)
+
+
+class Evaluator:
+    """Config-driven evaluation engine."""
+
+    def __init__(self, config: Config, state=None, trainer=None):
+        self.config = config
+        self.t = config.train
+        self.e = config.evaluate
+
+        net_cfg = self.t.network
+        name = "AttentionVNet" if net_cfg.attention else net_cfg.name
+        self.is_attention = name == "AttentionVNet"
+        dtype = jnp.bfloat16 if self.t.precision == "bfloat16" else jnp.float32
+        self.network = build_network(
+            name, num_classes=self.t.num_classes, dropout_rate=0.0,
+            num_channels=net_cfg.num_channel, num_levels=net_cfg.num_levels,
+            num_convolutions=net_cfg.num_convolutions,
+            bottom_convolutions=net_cfg.bottom_convolutions,
+            norm=net_cfg.norm, dtype=dtype)
+
+        if state is not None:
+            self.variables = {"params": state.params,
+                              "batch_stats": state.batch_stats}
+        else:
+            self.variables = self._restore_variables()
+
+        def apply_fn(variables, patches):
+            out = self.network.apply(variables, patches, train=False)
+            return out[0] if self.is_attention else out
+
+        self.engine = SlidingWindowInference(
+            apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
+            self.t.num_classes, gaussian_blend=self.e.gaussian_blend)
+
+    # ------------------------------------------------------------------
+    def _restore_variables(self):
+        """Restore weights from ``EvaluationSetting.CheckpointPath`` (a
+        checkpoint directory; the reference's meta-graph path,
+        `model.py:1138-1139`)."""
+        from ..train.checkpoints import CheckpointManager
+        from ..train.trainer import Trainer
+
+        trainer = Trainer(self.config, log=False)
+        template = trainer.init_state()
+        path = self.e.checkpoint_path or self.t.ckpt_dir
+        mgr = CheckpointManager(path)
+        state = mgr.restore_latest(template)
+        if state is None:
+            raise FileNotFoundError(
+                f"No checkpoint found under {path!r}")
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
+    # ------------------------------------------------------------------
+    def _eval_transforms(self):
+        pipeline_cfg = load_pipeline(self.e.pipeline_path)
+        return build_pipeline(pipeline_cfg, "evaluate", self.t.dimension)
+
+    def _prepare_case(self, case_dir: str) -> Optional[dict]:
+        images = []
+        for fname in self.e.image_filenames:
+            path = os.path.join(case_dir, fname)
+            if not os.path.exists(path):
+                return None
+            images.append(read_image(path))
+        label = zeros_like_geometry(images[0])
+        return {"image": images, "label": label}
+
+    # ------------------------------------------------------------------
+    def evaluate_single_3d(self, sample, transforms):
+        """`model.py:817-977` semantics; returns (label, probs | None)."""
+        original = sample["image"][0]  # geometry snapshot of the input grid
+
+        for tfm in transforms:
+            sample = tfm(sample)
+
+        # safety pad to patch size (the YAML normally holds a Padding step)
+        images = [pad_to_size(im, self.t.patch_shape, LINEAR)
+                  for im in sample["image"]]
+        transformed_geom = images[0]
+
+        volume = _stack_channels(images)
+        acc, weight = self.engine(self.variables, volume)
+        acc = np.asarray(acc)
+        weight = np.asarray(weight)
+
+        label_np = np.argmax(acc, axis=-1).astype(np.uint8)  # model.py:934
+        label_tfm = transformed_geom.like(label_np)
+        label = resample_like(label_tfm, original, NEAREST)
+
+        if not self.e.probability_output:
+            return label, None
+
+        probs = []
+        for c in range(self.t.num_classes):
+            prob_np = acc[..., c] / np.maximum(weight, 1e-12)
+            prob_tfm = transformed_geom.like(prob_np.astype(np.float32))
+            probs.append(resample_like(prob_tfm, original, LINEAR))
+        return label, probs
+
+    # ------------------------------------------------------------------
+    def evaluate_single_2d(self, sample, transforms):
+        """`model.py:979-1129`: per-z-slice 2D sliding window, results
+        pasted back into the volume."""
+        images3d, label3d = sample["image"], sample["label"]
+        for tfm in transforms["3D"]:
+            sample = tfm(sample)
+            images3d, label3d = sample["image"], sample["label"]
+
+        out_label = np.zeros(images3d[0].GetSize(), np.uint8)
+        out_probs = (np.zeros((self.t.num_classes,) + images3d[0].GetSize(),
+                              np.float32)
+                     if self.e.probability_output else None)
+
+        helper = NiftiDataset2D.__new__(NiftiDataset2D)  # reuse slice extract
+        for z in range(images3d[0].GetSize()[2]):
+            slice_imgs = [helper._extract_slice(im, z) for im in images3d]
+            slice_lbl = helper._extract_slice(label3d, z)
+            orig_slice = slice_imgs[0]
+
+            s = {"image": slice_imgs, "label": slice_lbl}
+            for tfm in transforms["2D"]:
+                s = tfm(s)
+            slice_imgs = [pad_to_size(im, self.t.patch_shape, LINEAR)
+                          for im in s["image"]]
+            geom = slice_imgs[0]
+
+            plane = _stack_channels(slice_imgs)
+            acc, weight = self.engine(self.variables, plane)
+            acc = np.asarray(acc)
+            weight = np.asarray(weight)
+
+            lbl_np = np.argmax(acc, axis=-1).astype(np.uint8)
+            lbl = resample_like(geom.like(lbl_np), orig_slice, NEAREST)
+            out_label[:, :, z] = lbl.data
+            if out_probs is not None:
+                for c in range(self.t.num_classes):
+                    p = acc[..., c] / np.maximum(weight, 1e-12)
+                    pr = resample_like(geom.like(p.astype(np.float32)),
+                                       orig_slice, LINEAR)
+                    out_probs[c, :, :, z] = pr.data
+
+        label = images3d[0].like(out_label)
+        if out_probs is None:
+            return label, None
+        probs = [images3d[0].like(out_probs[c])
+                 for c in range(self.t.num_classes)]
+        return label, probs
+
+    # ------------------------------------------------------------------
+    def evaluate_case(self, case_dir: str):
+        sample = self._prepare_case(case_dir)
+        if sample is None:
+            return None
+        transforms = self._eval_transforms()
+        if self.t.dimension == 2:
+            label, probs = self.evaluate_single_2d(sample, transforms)
+        else:
+            label, probs = self.evaluate_single_3d(sample, transforms)
+
+        if self.e.largest_connected_component:  # model.py:1218-1219
+            label = extract_largest_connected_component(label)
+        if self.e.volume_threshold > 0:  # model.py:1222-1223
+            label = volume_threshold(label, self.e.volume_threshold)
+        return label, probs
+
+    def evaluate(self):
+        """Loop over the evaluation directory and write outputs
+        (`model.py:1172-1243`)."""
+        results = []
+        for case in list_cases(self.e.data_dir):
+            case_dir = os.path.join(self.e.data_dir, case)
+            out = self.evaluate_case(case_dir)
+            if out is None:
+                print(f"Image file not found at {case_dir}")
+                continue
+            label, probs = out
+            label_path = os.path.join(case_dir, self.e.label_filename)
+            write_image(label, label_path)
+            results.append(label_path)
+            if probs is not None:
+                stem, ext = self._split_name(self.e.probability_filename)
+                for c, prob in enumerate(probs):
+                    class_id = self.t.segmentation_classes[c]
+                    write_image(prob, os.path.join(
+                        case_dir, f"{stem}_{class_id}{ext}"))
+        return results
+
+    @staticmethod
+    def _split_name(filename: str) -> Tuple[str, str]:
+        parts = filename.split(".")
+        return parts[0], "".join("." + p for p in parts[1:])

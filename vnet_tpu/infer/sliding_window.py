@@ -1,0 +1,174 @@
+"""Overlap-tiled sliding-window inference with on-device blending.
+
+TPU-native replacement for the reference's evaluation inner loop
+(`/root/reference/model.py:817-977`): there, patches are sliced on the host
+by a multiprocessing pool (`model.py:905-908`), fed batch-by-batch through
+``sess.run`` and blended in host numpy (`model.py:919-929`). Here the whole
+volume lives in HBM and one jitted function runs the entire patch grid:
+
+* the static patch grid (strided starts with last-patch clamping exactly as
+  `model.py:866-893`) is precomputed on host as an ``(N, rank)`` index
+  array — data-independent, so the compiled loop is shape-stable per
+  volume shape;
+* a ``lax.fori_loop`` over patch batches gathers patches with
+  ``dynamic_slice`` (vmapped), runs the network forward once per batch
+  (large, MXU-friendly), and scatter-adds softmax and blend weight into
+  accumulators with read-modify-write ``dynamic_update_slice``;
+* blending weight is uniform visit-count (reference parity,
+  `model.py:929`) or an optional separable cosine^2 (Hann) window that
+  down-weights patch borders — the standard fix for seam artifacts.
+
+Compiled functions are cached per (volume shape, grid size); padded tail
+patches re-run the clamped last start, which only rescales the blend
+weight and leaves results unchanged.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def patch_starts_1d(dim: int, patch: int, stride: int) -> list:
+    """Strided starts with last-start clamping (`model.py:866-893`)."""
+    n = int(math.ceil((dim - patch) / float(stride))) + 1
+    n = max(n, 1)
+    starts = []
+    for i in range(n):
+        s = i * stride
+        if s + patch > dim:
+            s = dim - patch
+        starts.append(max(s, 0))
+    return starts
+
+
+def build_patch_grid(volume_shape: Sequence[int], patch_shape: Sequence[int],
+                     stride: Sequence[int]) -> np.ndarray:
+    """All patch start corners, (N, rank) int32, same enumeration order as
+    the reference's i/j/k loops (`model.py:874-900`)."""
+    axes = [patch_starts_1d(volume_shape[i], patch_shape[i], stride[i])
+            for i in range(len(patch_shape))]
+    grids = np.meshgrid(*axes, indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
+
+
+def cosine_window(patch_shape: Sequence[int]) -> np.ndarray:
+    """Separable Hann^1 window, floored so every voxel keeps support."""
+    ws = []
+    for p in patch_shape:
+        x = (np.arange(p) + 0.5) / p
+        ws.append(np.clip(np.sin(np.pi * x), 0.05, None))
+    w = ws[0]
+    for axis_w in ws[1:]:
+        w = np.multiply.outer(w, axis_w)
+    return w.astype(np.float32)
+
+
+class SlidingWindowInference:
+    """Jitted overlap-tiled inference for one network.
+
+    Args:
+      apply_fn: ``apply_fn(variables, patches) -> logits`` (eval mode).
+      patch_shape / stride: rank-2 or rank-3 tuples (config
+        ``PatchShape`` / ``EvaluationSetting.Stride``).
+      batch_size: patches per forward pass (``EvaluationSetting.BatchSize``).
+      num_classes: output channels.
+      gaussian_blend: cosine-window blending instead of uniform.
+    """
+
+    def __init__(self, apply_fn, patch_shape: Sequence[int],
+                 stride: Sequence[int], batch_size: int, num_classes: int,
+                 gaussian_blend: bool = False):
+        self.apply_fn = apply_fn
+        self.patch_shape = tuple(int(p) for p in patch_shape)
+        self.stride = tuple(int(s) for s in stride)
+        self.batch_size = int(batch_size)
+        self.num_classes = int(num_classes)
+        self.rank = len(self.patch_shape)
+        self.blend_window = (cosine_window(self.patch_shape)
+                             if gaussian_blend else
+                             np.ones(self.patch_shape, np.float32))
+        self._compiled = {}
+
+    # ------------------------------------------------------------------
+    def _make_jitted(self, vol_shape: Tuple[int, ...], num_batches: int):
+        patch = self.patch_shape
+        B = self.batch_size
+        C = vol_shape[-1]
+        rank = self.rank
+        window = jnp.asarray(self.blend_window)
+
+        def gather(volume, starts):
+            def one(s):
+                return jax.lax.dynamic_slice(
+                    volume, tuple(s[i] for i in range(rank)) + (0,),
+                    patch + (C,))
+            return jax.vmap(one)(starts)
+
+        def run(variables, volume, starts):
+            acc = jnp.zeros(vol_shape[:-1] + (self.num_classes,), jnp.float32)
+            weight = jnp.zeros(vol_shape[:-1], jnp.float32)
+
+            def body(b, carry):
+                acc, weight = carry
+                batch_starts = jax.lax.dynamic_slice(
+                    starts, (b * B, 0), (B, rank))
+                patches = gather(volume, batch_starts)
+                logits = self.apply_fn(variables, patches)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs = probs * window[..., None]
+
+                def scatter(j, carry):
+                    acc, weight = carry
+                    s = tuple(batch_starts[j, i] for i in range(rank))
+                    cur = jax.lax.dynamic_slice(acc, s + (0,),
+                                                patch + (self.num_classes,))
+                    acc = jax.lax.dynamic_update_slice(
+                        acc, cur + probs[j], s + (0,))
+                    curw = jax.lax.dynamic_slice(weight, s, patch)
+                    weight = jax.lax.dynamic_update_slice(
+                        weight, curw + window, s)
+                    return acc, weight
+
+                return jax.lax.fori_loop(0, B, scatter, (acc, weight))
+
+            acc, weight = jax.lax.fori_loop(0, num_batches, body, (acc, weight))
+            return acc, weight
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def __call__(self, variables, volume: np.ndarray):
+        """Run the full grid over ``volume`` (``(*spatial, C)``, already at
+        least patch-sized per axis).
+
+        Returns ``(softmax_sum, weight)`` as device arrays — callers
+        compute ``argmax(softmax_sum)`` for the label (the division by
+        weight cancels in argmax, `model.py:934`) and
+        ``softmax_sum / weight`` for probability maps (`model.py:935-937`).
+        """
+        vol_shape = tuple(volume.shape)
+        for i in range(self.rank):
+            if vol_shape[i] < self.patch_shape[i]:
+                raise ValueError(
+                    f"volume {vol_shape} smaller than patch "
+                    f"{self.patch_shape}; pad first")
+
+        starts = build_patch_grid(vol_shape[:-1], self.patch_shape,
+                                  self.stride)
+        n = starts.shape[0]
+        num_batches = (n + self.batch_size - 1) // self.batch_size
+        pad = num_batches * self.batch_size - n
+        if pad:
+            starts = np.concatenate([starts, np.repeat(starts[-1:], pad, 0)])
+
+        key = (vol_shape, num_batches)
+        if key not in self._compiled:
+            self._compiled[key] = self._make_jitted(vol_shape, num_batches)
+        return self._compiled[key](variables, jnp.asarray(volume),
+                                   jnp.asarray(starts))
