@@ -1,0 +1,110 @@
+"""Mesh + halo-exchange tests on the virtual 8-device CPU mesh
+(SURVEY.md §2.5/§5.7 equivalents)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from vnet_tpu.parallel import make_mesh, pad_batch_to_multiple, shard_batch
+from vnet_tpu.parallel.halo import halo_exchange, sharded_conv, shard_volume
+
+
+def test_make_mesh_shapes():
+    m = make_mesh()
+    assert m.devices.size == 8
+    assert m.axis_names == ("data", "space")
+    m = make_mesh(4, 2)
+    assert m.shape["data"] == 4
+    assert m.shape["space"] == 2
+    with pytest.raises(ValueError):
+        make_mesh(16, 1)
+
+
+def test_shard_batch_roundtrip(rng):
+    m = make_mesh()
+    x = rng.normal(size=(8, 4, 4)).astype(np.float32)
+    xs = shard_batch(m, x)
+    np.testing.assert_allclose(np.asarray(xs), x)
+
+
+def test_pad_batch_to_multiple():
+    x = np.arange(6).reshape(6, 1)
+    padded, n = pad_batch_to_multiple(x, 4)
+    assert padded.shape == (8, 1)
+    assert n == 6
+    np.testing.assert_array_equal(padded[6:], [[5], [5]])
+
+
+def test_halo_exchange_reconstructs_neighbors(rng):
+    mesh = make_mesh(1, 8)
+    x = rng.normal(size=(32, 4)).astype(np.float32)
+
+    def f(local):
+        return halo_exchange(local, 2, "space", 0)
+
+    out = shard_map(f, mesh=mesh, in_specs=P("space"),
+                    out_specs=P("space"))(jnp.asarray(x))
+    out = np.asarray(out)  # (8 * (4+4), 4): each shard grew 4 -> 8 rows
+    assert out.shape == (64, 4)
+    # shard 1's halo-padded block = rows 2..10 of the global array
+    block1 = out[8:16]
+    np.testing.assert_allclose(block1, x[2:10])
+    # shard 0's left halo is zeros
+    np.testing.assert_allclose(out[0:2], 0.0)
+    np.testing.assert_allclose(out[2:8], x[0:6])
+
+
+@pytest.mark.parametrize("rank,k", [(2, 3), (3, 5)])
+def test_sharded_conv_matches_unsharded(rng, rank, k):
+    mesh = make_mesh(1, 8)
+    spatial = (16,) * rank
+    cin, cout = 2, 3
+    vol = rng.normal(size=spatial + (cin,)).astype(np.float32)
+    kernel = rng.normal(size=(k,) * rank + (cin, cout)).astype(np.float32) * 0.1
+
+    conv = sharded_conv(mesh, "space", spatial_axis=0)
+    out_sharded = np.asarray(conv(jnp.asarray(vol), jnp.asarray(kernel)))
+
+    dims = ("NHWC", "HWIO", "NHWC") if rank == 2 else ("NDHWC", "DHWIO", "NDHWC")
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(vol)[None], jnp.asarray(kernel), (1,) * rank, "SAME",
+        dimension_numbers=dims)[0]
+    np.testing.assert_allclose(out_sharded, np.asarray(ref), atol=1e-4)
+
+
+def test_shard_volume_placement(rng):
+    mesh = make_mesh(1, 8)
+    vol = rng.normal(size=(32, 8, 8, 1)).astype(np.float32)
+    sharded = shard_volume(mesh, "space", 0, vol)
+    assert len(sharded.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(sharded), vol)
+
+
+def test_gradient_allreduce_semantics(rng):
+    """DP training semantics: the global-batch gradient from a shard_map
+    where the loss is pmean'd across the data axis equals the unsharded
+    gradient. (Differentiating w.r.t. a REPLICATED input inside shard_map
+    inserts the gradient psum automatically — the DP all-reduce the
+    reference never had, compiled by XLA over ICI.)"""
+    mesh = make_mesh(8, 1)
+    w = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(8, 4)).astype(np.float32))
+
+    def loss(w, x):
+        return jnp.mean(jnp.sum(x * w, axis=-1) ** 2)
+
+    g_global = jax.grad(loss)(w, x)
+
+    def local_grad(w, xs):
+        # global loss = pmean of local mean losses; grad wrt replicated w
+        # then carries the implicit cross-device psum.
+        return jax.grad(
+            lambda w_: jax.lax.pmean(loss(w_, xs), "data"))(w)
+
+    g_dp = shard_map(local_grad, mesh=mesh, in_specs=(P(), P("data")),
+                     out_specs=P())(w, x)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_global),
+                               rtol=1e-5)
