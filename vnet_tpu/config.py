@@ -60,6 +60,10 @@ class LossConfig:
     name: str = "sorensen"
     weights: tuple = ()
     alpha: float = 1.0
+    # attention-gate distance-map supervision (legacy train.py:383-401):
+    # "l2" (x scale) or "abs"
+    attention_kind: str = "l2"
+    attention_scale: float = 100.0
 
 
 @dataclass
@@ -191,6 +195,8 @@ def parse_config(tree: dict) -> Config:
             name=loss_tree.get("Name", "sorensen"),
             weights=tuple(loss_tree.get("Weights", ()) or ()),
             alpha=float(loss_tree.get("Alpha", 1.0)),
+            attention_kind=loss_tree.get("AttentionKind", "l2"),
+            attention_scale=float(loss_tree.get("AttentionScale", 100.0)),
         ),
         optimizer=OptimizerConfig(
             name=opt_tree.get("Name", "Adam"),

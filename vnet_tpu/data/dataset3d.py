@@ -59,13 +59,18 @@ class NiftiDataset3D:
 
     def __init__(self, data_dir: str = "", image_filenames=("image.nii",),
                  label_filename: str = "label.nii", transforms=None,
-                 train: bool = False, labels: Sequence[int] = (0, 1)):
+                 train: bool = False, labels: Sequence[int] = (0, 1),
+                 attention: bool = False):
         self.data_dir = data_dir
         self.image_filenames = list(image_filenames)
         self.label_filename = label_filename
         self.transforms = transforms or []
         self.train = train
         self.labels = list(labels)
+        # attention=True additionally emits a distance-map supervision
+        # target (legacy train.py:221-228 `distmap` feature, see
+        # vnet_tpu.data.distance)
+        self.attention = attention
         self.cases = list_cases(data_dir)
 
     def __len__(self):
@@ -118,6 +123,9 @@ class NiftiDataset3D:
             [np.asarray(im.data, dtype=np.float32) for im in sample["image"]],
             axis=-1)
         label_np = np.asarray(sample["label"].data, dtype=np.int32)
+        if self.attention:
+            from .distance import distance_map
+            return image_np, label_np, distance_map(label_np)
         return image_np, label_np
 
     def __iter__(self):

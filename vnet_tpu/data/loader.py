@@ -99,20 +99,21 @@ class BatchLoader:
                 except queue.Empty:
                     break
 
-    def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield ``(images[B,...,C], labels[B,...])`` numpy batches."""
+    def epoch(self) -> Iterator[Tuple[np.ndarray, ...]]:
+        """Yield batches: each dataset sample tuple element is stacked along
+        a new leading batch dim — ``(images, labels[, distance_maps, ...])``.
+        """
         order = self._order()
         it = (self._iter_samples_threaded(order) if self.num_workers > 0
               else self._iter_samples_sync(order))
-        imgs, lbls = [], []
-        for img, lbl in it:
-            imgs.append(img)
-            lbls.append(lbl)
-            if len(imgs) == self.batch_size:
-                yield np.stack(imgs), np.stack(lbls)
-                imgs, lbls = [], []
-        if imgs and not self.drop_remainder:
-            yield np.stack(imgs), np.stack(lbls)
+        buf = []
+        for sample in it:
+            buf.append(sample if isinstance(sample, tuple) else (sample,))
+            if len(buf) == self.batch_size:
+                yield tuple(np.stack(col) for col in zip(*buf))
+                buf = []
+        if buf and not self.drop_remainder:
+            yield tuple(np.stack(col) for col in zip(*buf))
 
     def __iter__(self):
         return self.epoch()

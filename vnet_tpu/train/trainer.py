@@ -67,9 +67,13 @@ class TrainStepOutput:
 
 def make_train_step(network, tx, loss_cfg, num_classes: int,
                     is_attention: bool, compute_metrics: bool = True):
-    """Build the pure train-step function (to be jitted with donation)."""
+    """Build the pure train-step function (to be jitted with donation).
 
-    def step_fn(state: TrainState, images, labels, rng):
+    For attention-gated networks the step takes an extra ``distance_maps``
+    array and adds the gate's distance-map regression loss
+    (`train.py:383-401, 415-417` semantics: total = seg + attention)."""
+
+    def step_fn(state: TrainState, images, labels, rng, distance_maps=None):
         dropout_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
@@ -77,13 +81,23 @@ def make_train_step(network, tx, loss_cfg, num_classes: int,
             out, mutated = network.apply(
                 variables, images, train=True,
                 rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+            extra = {}
             if is_attention:
-                logits, _att_logits = out
+                logits, att_logits = out
             else:
                 logits = out
             loss, aux = segmentation_loss(
                 logits, labels, name=loss_cfg.name, num_classes=num_classes,
                 weights=loss_cfg.weights, alpha=loss_cfg.alpha)
+            if is_attention and distance_maps is not None:
+                from ..models import attention_distance_loss
+                att_loss = attention_distance_loss(
+                    att_logits, distance_maps, kind=loss_cfg.attention_kind,
+                    scale=loss_cfg.attention_scale)
+                aux = dict(aux)
+                aux["attention_loss"] = att_loss
+                loss = loss + att_loss
+                aux["total_loss"] = loss
             return loss, (aux, mutated["batch_stats"], logits)
 
         (loss, (aux, new_bs, logits)), grads = jax.value_and_grad(
@@ -180,23 +194,40 @@ class Trainer:
                               self.t.num_classes, self.is_attention)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
-        self._train_step_fn = jax.jit(
-            raw,
-            in_shardings=(rep, bsh, bsh, rep),
-            out_shardings=rep,
-            donate_argnums=(0,))
+        if self.is_attention:
+            self._train_step_fn = jax.jit(
+                lambda state, images, labels, rng, dmaps: raw(
+                    state, images, labels, rng, dmaps),
+                in_shardings=(rep, bsh, bsh, rep, bsh),
+                out_shardings=rep,
+                donate_argnums=(0,))
+        else:
+            self._train_step_fn = jax.jit(
+                raw,
+                in_shardings=(rep, bsh, bsh, rep),
+                out_shardings=rep,
+                donate_argnums=(0,))
         raw_eval = make_eval_step(self.network, self.t.loss,
                                   self.t.num_classes, self.is_attention)
         self._eval_step_fn = jax.jit(
             raw_eval, in_shardings=(rep, bsh, bsh), out_shardings=rep)
 
     def train_step(self, state: TrainState, images: np.ndarray,
-                   labels: np.ndarray, rng) -> Tuple[TrainState, TrainStepOutput]:
+                   labels: np.ndarray, rng,
+                   distance_maps: Optional[np.ndarray] = None,
+                   ) -> Tuple[TrainState, TrainStepOutput]:
         self._build_steps()
         images = jnp.asarray(images, jnp.float32)
         labels = jnp.asarray(labels, jnp.int32)
-        state, loss, aux, metrics = self._train_step_fn(
-            state, images, labels, rng)
+        if self.is_attention:
+            if distance_maps is None:
+                distance_maps = np.zeros(labels.shape, np.float32)
+            state, loss, aux, metrics = self._train_step_fn(
+                state, images, labels, rng,
+                jnp.asarray(distance_maps, jnp.float32))
+        else:
+            state, loss, aux, metrics = self._train_step_fn(
+                state, images, labels, rng)
         out = TrainStepOutput(
             loss=float(loss),
             aux={k: float(v) for k, v in aux.items()},
@@ -229,7 +260,8 @@ class Trainer:
             ds = NiftiDataset3D(
                 data_dir, self.t.image_filenames, self.t.label_filename,
                 transforms=transforms, train=True,
-                labels=self.t.segmentation_classes)
+                labels=self.t.segmentation_classes,
+                attention=self.is_attention)
         return BatchLoader(ds, self.t.batch_size, shuffle=True,
                            drop_remainder=True, num_workers=2,
                            seed=self.t.seed)
@@ -294,12 +326,15 @@ class Trainer:
         for epoch in range(start_epoch, t.epochs):
             epoch_loss, count = 0.0, 0
             t0 = time.time()
-            for images, labels in train_loader.epoch():
+            for batch in train_loader.epoch():
+                images, labels, *rest = batch
+                dmaps = rest[0] if rest else None
                 if int(state.step) >= limit:
                     print(f"Reach maximum iteration steps, training abort.")
                     mgr.save(state)
                     return state
-                state, out = self.train_step(state, images, labels, rng)
+                state, out = self.train_step(state, images, labels, rng,
+                                             distance_maps=dmaps)
                 step = int(state.step)
                 epoch_loss += out.loss
                 count += 1
@@ -310,10 +345,10 @@ class Trainer:
 
                 if test_loader is not None and step % t.test_step == 0:
                     try:
-                        timages, tlabels = next(test_iter)
+                        timages, tlabels, *_ = next(test_iter)
                     except StopIteration:
                         test_iter = iter(test_loader.epoch())
-                        timages, tlabels = next(test_iter)
+                        timages, tlabels, *_ = next(test_iter)
                     tout = self.eval_step(state, timages, tlabels)
                     self._log_scalars("test", step, tout)
 
