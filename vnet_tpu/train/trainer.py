@@ -294,6 +294,22 @@ class Trainer:
                 k = f"{base}_{class_ids[int(idx)]}"  # index -> class id
             w.add_scalar(f"metrics/{k}", v, step)
 
+    def _log_images(self, tag: str, step: int, state: TrainState,
+                    images: np.ndarray, labels: np.ndarray):
+        """ImageLog feature (model.py:315-334, 449-463, 570-585)."""
+        w = self._writer(tag)
+        if w is None:
+            return
+        from .images import log_batch_images
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = self.network.apply(variables, jnp.asarray(images, jnp.float32),
+                                 train=False)
+        logits = out[0] if self.is_attention else out
+        softmax = np.asarray(jax.nn.softmax(logits, axis=-1))
+        pred = np.argmax(softmax, axis=-1)
+        log_batch_images(w, tag, np.asarray(images), np.asarray(labels),
+                         softmax, pred, self.t.segmentation_classes, step)
+
     # ------------------------------------------------------------------
     # the loop
     # ------------------------------------------------------------------
@@ -342,6 +358,8 @@ class Trainer:
 
                 if step % t.log_interval == 0:
                     mgr.save(state)
+                    if t.image_log:
+                        self._log_images("train", step, state, images, labels)
 
                 if test_loader is not None and step % t.test_step == 0:
                     try:
