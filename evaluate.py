@@ -1,0 +1,86 @@
+"""Legacy flag-driven evaluation CLI — surface parity with the reference's
+`/root/reference/evaluate.py:20-41` flag set (stride_inplane/stride_layer
+sliding window), over the modern Evaluator.
+
+    python evaluate.py --data_dir ./data/evaluate \
+        --checkpoint_path ./tmp/ckpt --patch_size 64 --patch_layer 64 \
+        --stride_inplane 32 --stride_layer 32
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="legacy flag-style evaluation")
+    p.add_argument("--data_dir", default="./data/evaluate")
+    p.add_argument("--image_filename", default="image.nii")
+    p.add_argument("--label_filename", default="label_prob.nii.gz")
+    p.add_argument("--checkpoint_path", default="./tmp/ckpt",
+                   help="checkpoint directory to restore")
+    p.add_argument("--patch_size", type=int, default=192)
+    p.add_argument("--patch_layer", type=int, default=16)
+    p.add_argument("--stride_inplane", type=int, default=144)
+    p.add_argument("--stride_layer", type=int, default=12)
+    p.add_argument("--batch_size", type=int, default=5)
+    p.add_argument("--attention", action="store_true")
+    p.add_argument("--probability_output", action="store_true")
+    p.add_argument("--gaussian_blend", action="store_true")
+    p.add_argument("--pipeline", default="")
+    return p
+
+
+def main():
+    args = get_parser().parse_args()
+
+    from vnet_tpu.config import parse_config
+
+    pipeline = args.pipeline
+    if not pipeline:
+        import tempfile
+        import yaml
+        patch = [args.patch_size, args.patch_size, args.patch_layer]
+        fd, pipeline = tempfile.mkstemp(suffix=".yaml")
+        with os.fdopen(fd, "w") as f:
+            yaml.safe_dump({"preprocess": {
+                "train": {"3D": None}, "test": {"3D": None},
+                "evaluate": {"3D": [
+                    {"name": "Padding", "variables": {"output_size": patch}},
+                ]}}}, f)
+
+    tree = {
+        "TrainingSetting": {
+            "Data": {"TrainingDataDirectory": args.data_dir,
+                     "TestingDataDirectory": args.data_dir,
+                     "ImageFilenames": [args.image_filename],
+                     "LabelFilename": "label.nii"},
+            "SegmentationClasses": [0, 1],
+            "PatchShape": [args.patch_size, args.patch_size,
+                           args.patch_layer],
+            "Networks": {"Name": "VNet", "Attention": args.attention},
+            "Pipeline": pipeline,
+        },
+        "EvaluationSetting": {
+            "Data": {"EvaluateDataDirectory": args.data_dir,
+                     "ImageFilenames": [args.image_filename],
+                     "LabelFilename": args.label_filename,
+                     "ProbabilityFilename": "probability.nii.gz"},
+            "CheckpointPath": args.checkpoint_path,
+            "Stride": [args.stride_inplane, args.stride_inplane,
+                       args.stride_layer],
+            "BatchSize": args.batch_size,
+            "ProbabilityOutput": args.probability_output,
+            "GaussianBlend": args.gaussian_blend,
+            "Pipeline": pipeline,
+        },
+    }
+    config = parse_config(tree)
+
+    from vnet_tpu.infer import Evaluator
+    Evaluator(config).evaluate()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Legacy flag-driven training CLI — surface parity with the reference's
+`/root/reference/train.py:20-71` tf.app.flags set, implemented as argparse
+over the modern Trainer. The attention-gated variant is `--attention`
+(train.py:281-310 wiring).
+
+    python train.py --data_dir ./data --patch_size 64 --patch_layer 64 \
+        --loss_function sorensen --optimizer adam --attention
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+_OPTIMIZERS = {"sgd": "SGD", "adam": "Adam", "momentum": "Momentum",
+               "nesterov_momentum": "NesterovMomentum"}
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description="legacy flag-style training")
+    p.add_argument("--data_dir", default="./data",
+                   help="directory of stored data (expects training/ and "
+                        "testing/ subdirs, or case dirs directly)")
+    p.add_argument("--image_filename", default="image.nii")
+    p.add_argument("--label_filename", default="label.nii")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--patch_size", type=int, default=256,
+                   help="in-plane size of a data patch")
+    p.add_argument("--patch_layer", type=int, default=32,
+                   help="number of layers in a data patch")
+    p.add_argument("--epochs", type=int, default=999999999)
+    p.add_argument("--log_dir", default="./tmp/log")
+    p.add_argument("--init_learning_rate", type=float, default=1e-2)
+    p.add_argument("--decay_factor", type=float, default=0.99)
+    p.add_argument("--decay_steps", type=int, default=100)
+    p.add_argument("--display_step", type=int, default=10)
+    p.add_argument("--save_interval", type=int, default=1)
+    p.add_argument("--checkpoint_dir", default="./tmp/ckpt")
+    p.add_argument("--restore_training", action="store_true", default=True)
+    p.add_argument("--no_restore_training", dest="restore_training",
+                   action="store_false")
+    p.add_argument("--drop_ratio", type=float, default=0.01)
+    p.add_argument("--min_pixel", type=int, default=30)
+    p.add_argument("--loss_function", default="sorensen",
+                   choices=["xent", "weighted_xent", "sorensen", "jaccard",
+                            "weighted_sorensen", "weighted_jaccard",
+                            "mixed_sorensen", "mixed_jaccard",
+                            "mixed_weighted_sorensen",
+                            "mixed_weighted_jaccard"])
+    p.add_argument("--attention_loss_function", default="l2",
+                   choices=["l2", "abs"])
+    p.add_argument("--optimizer", default="sgd", choices=sorted(_OPTIMIZERS))
+    p.add_argument("--momentum", type=float, default=0.5)
+    p.add_argument("--testing", action="store_true")
+    p.add_argument("--attention", action="store_true")
+    p.add_argument("--image_log", action="store_true")
+    p.add_argument("--pipeline", default="",
+                   help="preprocessing pipeline YAML; a minimal "
+                        "pad+random-crop pipeline is generated if empty")
+    p.add_argument("--max_iterations", type=int, default=10 ** 9)
+    return p
+
+
+def flags_to_config(args):
+    from vnet_tpu.config import parse_config
+
+    train_dir = args.data_dir
+    test_dir = args.data_dir
+    if os.path.isdir(os.path.join(args.data_dir, "training")):
+        train_dir = os.path.join(args.data_dir, "training")
+        test_dir = os.path.join(args.data_dir, "testing")
+
+    pipeline = args.pipeline
+    if not pipeline:
+        import yaml
+        patch = [args.patch_size, args.patch_size, args.patch_layer]
+        section = {"3D": [
+            {"name": "Padding", "variables": {"output_size": patch}},
+            {"name": "RandomCrop",
+             "variables": {"output_size": patch,
+                           "drop_ratio": args.drop_ratio,
+                           "min_pixel": args.min_pixel}},
+        ]}
+        os.makedirs(args.log_dir, exist_ok=True)
+        pipeline = os.path.join(args.log_dir, "pipeline_auto.yaml")
+        with open(pipeline, "w") as f:
+            yaml.safe_dump({"preprocess": {"train": section, "test": section,
+                                           "evaluate": {"3D": section["3D"][:1]}}}, f)
+
+    tree = {
+        "TrainingSetting": {
+            "Data": {
+                "TrainingDataDirectory": train_dir,
+                "TestingDataDirectory": test_dir,
+                "ImageFilenames": [args.image_filename],
+                "LabelFilename": args.label_filename,
+            },
+            "SegmentationClasses": [0, 1],
+            "Restore": args.restore_training,
+            "LogDir": args.log_dir,
+            "CheckpointDir": args.checkpoint_dir,
+            "BatchSize": args.batch_size,
+            "PatchShape": [args.patch_size, args.patch_size,
+                           args.patch_layer],
+            "ImageLog": args.image_log,
+            "Testing": args.testing,
+            "TestStep": args.display_step,
+            "Epoches": args.epochs,
+            "MaxIterations": args.max_iterations,
+            "LogInterval": args.display_step,
+            "DropRatio": args.drop_ratio,
+            "MinPixel": args.min_pixel,
+            "Networks": {"Name": "VNet", "Dropout": 0.01, "NumChannel": 16,
+                         "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
+                         "BottomConvolutions": 3,
+                         "Attention": args.attention},
+            "Loss": {"Name": args.loss_function, "Weights": [], "Alpha": 1,
+                     "AttentionKind": args.attention_loss_function},
+            "Optimizer": {
+                "Name": _OPTIMIZERS[args.optimizer],
+                "InitialLearningRate": args.init_learning_rate,
+                "Momentum": args.momentum,
+                "Decay": {"Factor": args.decay_factor,
+                          "Steps": args.decay_steps},
+            },
+            "Pipeline": pipeline,
+        },
+        "EvaluationSetting": {
+            "Data": {"EvaluateDataDirectory": args.data_dir},
+            "Stride": [args.patch_size, args.patch_size, args.patch_layer],
+        },
+    }
+    return parse_config(tree)
+
+
+def main():
+    args = get_parser().parse_args()
+    config = flags_to_config(args)
+    from vnet_tpu.train import Trainer
+    Trainer(config).train()
+
+
+if __name__ == "__main__":
+    main()
