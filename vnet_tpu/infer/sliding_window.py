@@ -83,7 +83,8 @@ class SlidingWindowInference:
 
     def __init__(self, apply_fn, patch_shape: Sequence[int],
                  stride: Sequence[int], batch_size: int, num_classes: int,
-                 gaussian_blend: bool = False):
+                 gaussian_blend: bool = False, mesh=None,
+                 mesh_axis: str = "data"):
         self.apply_fn = apply_fn
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.stride = tuple(int(s) for s in stride)
@@ -93,6 +94,11 @@ class SlidingWindowInference:
         self.blend_window = (cosine_window(self.patch_shape)
                              if gaussian_blend else
                              np.ones(self.patch_shape, np.float32))
+        # Optional SPMD: shard the patch grid over a mesh axis; each device
+        # blends its sub-grid into a local accumulator, then one psum
+        # assembles the volume (SURVEY.md §5.7's eval-grid sharding).
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -110,9 +116,17 @@ class SlidingWindowInference:
                     patch + (C,))
             return jax.vmap(one)(starts)
 
+        varying_axis = self.mesh_axis if self.mesh is not None else None
+
         def run(variables, volume, starts):
             acc = jnp.zeros(vol_shape[:-1] + (self.num_classes,), jnp.float32)
             weight = jnp.zeros(vol_shape[:-1], jnp.float32)
+            if varying_axis is not None:
+                # inside shard_map the per-device accumulators are varying
+                # (they depend on the sharded starts); mark the zero init
+                # accordingly so the fori_loop carry types line up.
+                acc = jax.lax.pvary(acc, (varying_axis,))
+                weight = jax.lax.pvary(weight, (varying_axis,))
 
             def body(b, carry):
                 acc, weight = carry
@@ -140,7 +154,21 @@ class SlidingWindowInference:
             acc, weight = jax.lax.fori_loop(0, num_batches, body, (acc, weight))
             return acc, weight
 
-        return jax.jit(run)
+        if self.mesh is None:
+            return jax.jit(run)
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = self.mesh_axis
+
+        def sharded_run(variables, volume, starts):
+            acc, weight = run(variables, volume, starts)
+            return (jax.lax.psum(acc, axis), jax.lax.psum(weight, axis))
+
+        return jax.jit(shard_map(
+            sharded_run, mesh=self.mesh,
+            in_specs=(P(), P(), P(axis)), out_specs=(P(), P())))
 
     # ------------------------------------------------------------------
     def __call__(self, variables, volume: np.ndarray):
@@ -162,8 +190,14 @@ class SlidingWindowInference:
         starts = build_patch_grid(vol_shape[:-1], self.patch_shape,
                                   self.stride)
         n = starts.shape[0]
-        num_batches = (n + self.batch_size - 1) // self.batch_size
-        pad = num_batches * self.batch_size - n
+        # pad the grid so it splits evenly into batches (and, when sharded,
+        # into per-device grids); duplicates only add blend weight
+        ndev = (self.mesh.shape[self.mesh_axis]
+                if self.mesh is not None else 1)
+        quantum = self.batch_size * ndev
+        total = ((n + quantum - 1) // quantum) * quantum
+        num_batches = total // quantum  # per-device batch count
+        pad = total - n
         if pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad, 0)])
 
