@@ -112,21 +112,86 @@ class Norm(nn.Module):
         raise ValueError(f"Unknown norm kind: {self.kind!r}")
 
 
+class SpatialConv(nn.Module):
+    """SAME conv with a selectable TPU implementation.
+
+    ``impl``:
+      * ``"direct"`` — ``lax.conv_general_dilated`` (XLA's native conv).
+      * ``"s2d"`` — space-to-depth packed conv (`vnet_tpu/ops/s2d.py`),
+        mathematically identical, ~8x better MXU utilization for the
+        V-Net's small-channel 5^3 convs.
+      * ``"auto"`` — s2d whenever legal (stride 1, odd kernel >= 3, even
+        spatial dims, packed channels within MXU-friendly range).
+
+    Parameter names/shapes match ``nn.Conv`` (``kernel``/``bias``), so
+    checkpoints are interchangeable across implementations.
+    """
+
+    features: int
+    kernel_size: tuple
+    strides: Optional[tuple] = None
+    impl: str = "direct"
+    use_bias: bool = True
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        rank = x.ndim - 2
+        k = tuple(self.kernel_size)
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", conv_kernel_init,
+                            k + (in_features, self.features),
+                            self.param_dtype)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+        kernel_c = kernel.astype(compute_dtype)
+
+        strides = tuple(self.strides) if self.strides else (1,) * rank
+        uniform_k = len(set(k)) == 1
+        can_s2d = (
+            uniform_k and k[0] % 2 == 1 and k[0] >= 3
+            and strides == (1,) * rank
+            and all(s % 2 == 0 for s in x.shape[1:-1])
+            and (2 ** rank) * max(in_features, self.features) <= 1024
+        )
+        use_s2d = (self.impl == "s2d" or (self.impl == "auto" and can_s2d))
+        if use_s2d and not can_s2d:
+            raise ValueError(
+                f"s2d conv not applicable: kernel={k}, strides={strides}, "
+                f"spatial={x.shape[1:-1]}")
+
+        if use_s2d:
+            from ..ops.s2d import s2d_conv
+            y = s2d_conv(x, kernel_c)
+        else:
+            dims = (("NHWC", "HWIO", "NHWC") if rank == 2
+                    else ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_general_dilated(
+                x, kernel_c, strides, "SAME", dimension_numbers=dims,
+                preferred_element_type=jnp.float32).astype(compute_dtype)
+        if bias is not None:
+            y = y + bias.astype(compute_dtype)
+        return y
+
+
 def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          strides=None, dtype=None, param_dtype=jnp.float32,
-         name: Optional[str] = None, use_bias: bool = True) -> nn.Conv:
+         name: Optional[str] = None, use_bias: bool = True,
+         impl: str = "direct") -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
         kernel = (kernel,) * spatial_rank
-    return nn.Conv(
+    return SpatialConv(
         features=features,
         kernel_size=tuple(kernel),
-        strides=strides,
-        padding="SAME",
+        strides=tuple(strides) if strides else None,
+        impl=impl,
         use_bias=use_bias,
-        kernel_init=conv_kernel_init,
-        bias_init=nn.initializers.zeros,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,

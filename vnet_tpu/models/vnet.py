@@ -48,6 +48,7 @@ class ConvBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -56,7 +57,8 @@ class ConvBlock(nn.Module):
         block_input = x
         for i in range(self.num_convolutions):
             x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                     impl=self.conv_impl)(x)
             if i == self.num_convolutions - 1:
                 x = x + block_input
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -79,6 +81,7 @@ class DecoderConvBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
@@ -89,7 +92,8 @@ class DecoderConvBlock(nn.Module):
         for i in range(self.num_convolutions):
             out_ch = ch
             x = conv(out_ch, self.kernel_size, rank, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                     impl=self.conv_impl)(x)
             if i == self.num_convolutions - 1:
                 x = x + residual
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -116,6 +120,10 @@ class VNet(nn.Module):
     output_norm: bool = True
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    # "direct" | "s2d" | "auto": see models/layers.py SpatialConv; "s2d"
+    # behaves like "auto" at per-site granularity so odd-shaped tensors
+    # fall back to the direct conv.
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -124,6 +132,7 @@ class VNet(nn.Module):
         rank = x.ndim - 2
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
+        impl = "auto" if self.conv_impl in ("s2d", "auto") else "direct"
 
         # input layer (networks.py:253-266)
         in_ch = x.shape[-1]
@@ -133,7 +142,8 @@ class VNet(nn.Module):
                      name="input_norm")(x, train)
         else:
             x = conv(self.num_channels, 5, rank, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="input_conv")(x)
+                     param_dtype=self.param_dtype, name="input_conv",
+                     impl=impl)(x)
             x = Norm(self.norm, self.dtype, self.param_dtype,
                      name="input_norm")(x, train)
             x = Activation(self.activation, self.param_dtype,
@@ -144,7 +154,7 @@ class VNet(nn.Module):
         for level in range(self.num_levels):
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
-                          self.param_dtype,
+                          self.param_dtype, impl,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append(x)
             x = DownConv(2, self.norm, self.activation, self.dtype,
@@ -154,7 +164,7 @@ class VNet(nn.Module):
         # bottom (networks.py:282-283)
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
-                      self.param_dtype, name="bottom")(x, train)
+                      self.param_dtype, impl, name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
         for level in reversed(range(self.num_levels)):
@@ -162,7 +172,7 @@ class VNet(nn.Module):
                        self.param_dtype, name=f"up_{level + 1}")(x, train)
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
-                                 self.dtype, self.param_dtype,
+                                 self.dtype, self.param_dtype, impl,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skips[level], train)
 

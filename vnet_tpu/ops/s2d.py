@@ -1,0 +1,191 @@
+"""Space-to-depth packed convolution — the TPU layout trick for
+small-channel volumetric convs.
+
+The V-Net's hot convolutions have 16-32 channels at high resolution
+(`networks.py:307-322`): on TPU the MXU contracts over channel blocks of
+128, so a 16-channel conv wastes ~90% of the systolic array (measured ~1.3
+TFLOP/s vs ~200 peak on v5e). Packing a factor-2 space-to-depth transform
+into the layer — x (D,H,W,C) -> (D/2,H/2,W/2,8C) — turns the same math
+into an MXU-dense conv:
+
+    conv_{5x5x5, C->C, SAME}(x)  ==  depth_to_space(
+        conv_{3x3x3, 8C->8C, SAME}(space_to_depth(x), packed_kernel))
+
+with ``packed_kernel`` a sparse re-arrangement of the original 5^3 kernel
+(zeros where a tap falls outside the 5^3 support). FLOPs grow by
+27*64/(125*8) = 1.73x but utilization grows ~8x. The transform is exact
+(validated to fp tolerance in tests/test_s2d.py) so checkpoints and
+behavior are unchanged.
+
+Works for any odd kernel size k on even-sized inputs; the packed kernel is
+ceil((k+1)/2)+... computed below (k=5 -> 3, k=3 -> 2? no: k=3 -> taps
+dx+u in [-1,2] -> a in {-1,0,1} -> 3). General packed size = number of
+distinct floor((d+u)/2) for u in [-(k//2), k//2], d in {0,1}.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(B, *spatial, C) -> (B, *spatial/f, f^rank * C).
+
+    Channel layout: offset-major — packed channel = offset_index * C + c
+    where offset_index enumerates the f^rank sub-grid offsets in
+    lexicographic order.
+    """
+    b = x.shape[0]
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
+    rank = len(spatial)
+    f = factor
+    # reshape each spatial dim s -> (s/f, f)
+    new_shape = (b,)
+    for s in spatial:
+        assert s % f == 0, f"spatial dim {s} not divisible by {f}"
+        new_shape += (s // f, f)
+    new_shape += (c,)
+    y = x.reshape(new_shape)
+    # move the f-dims next to channels: (B, s1/f, s2/f, ..., f, f, ..., C)
+    perm = [0] + [1 + 2 * i for i in range(rank)] \
+        + [2 + 2 * i for i in range(rank)] + [1 + 2 * rank]
+    y = jnp.transpose(y, perm)
+    out_spatial = tuple(s // f for s in spatial)
+    return y.reshape((b,) + out_spatial + (f ** rank * c,))
+
+
+def depth_to_space(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b = x.shape[0]
+    spatial = x.shape[1:-1]
+    rank = len(spatial)
+    f = factor
+    c = x.shape[-1] // (f ** rank)
+    y = x.reshape((b,) + spatial + (f,) * rank + (c,))
+    # interleave back: (B, s1/f, f, s2/f, f, ..., C)
+    perm = [0]
+    for i in range(rank):
+        perm += [1 + i, 1 + rank + i]
+    perm += [1 + 2 * rank]
+    y = jnp.transpose(y, perm)
+    return y.reshape((b,) + tuple(s * f for s in spatial) + (c,))
+
+
+@lru_cache(maxsize=None)
+def _packing_plan(k: int, rank: int) -> Tuple[int, tuple]:
+    """Per-axis plan: packed kernel extent kp and the list of
+    (packed_tap a+A, in_offset e, out_offset d, orig_tap u+k//2) tuples."""
+    h = k // 2
+    entries = []
+    a_vals = set()
+    for d in (0, 1):
+        for u in range(-h, h + 1):
+            a, e = divmod(d + u, 2)
+            a_vals.add(a)
+            entries.append((a, e, d, u + h))
+    a_min, a_max = min(a_vals), max(a_vals)
+    kp = a_max - a_min + 1
+    # shift packed taps to start at 0
+    entries = tuple((a - a_min, e, d, t) for a, e, d, t in entries)
+    return kp, entries
+
+
+@lru_cache(maxsize=None)
+def _pack_maps(k: int, rank: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Constant gather map for :func:`pack_kernel`.
+
+    Returns (tap_index, mask), both shaped (kp^rank, 2^rank, 2^rank):
+    for packed tap position a, input sub-grid offset e, output sub-grid
+    offset d — the flat original tap index (or 0) and its validity.
+    """
+    import itertools
+
+    kp, entries = _packing_plan(k, rank)
+    n_off = 2 ** rank
+    tap_index = np.zeros((kp ** rank, n_off, n_off), np.int32)
+    mask = np.zeros((kp ** rank, n_off, n_off), bool)
+    idx_of = lambda offs: int("".join(str(o) for o in offs), 2)
+
+    for axis_entries in itertools.product(entries, repeat=rank):
+        a = tuple(e[0] for e in axis_entries)
+        e_off = tuple(e[1] for e in axis_entries)
+        d_off = tuple(e[2] for e in axis_entries)
+        taps = tuple(e[3] for e in axis_entries)
+        a_flat = 0
+        t_flat = 0
+        for ai, ti in zip(a, taps):
+            a_flat = a_flat * kp + ai
+            t_flat = t_flat * k + ti
+        tap_index[a_flat, idx_of(e_off), idx_of(d_off)] = t_flat
+        mask[a_flat, idx_of(e_off), idx_of(d_off)] = True
+    return tap_index, mask
+
+
+def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """(k,...,k, Cin, Cout) -> packed (kp,...,kp, 8Cin, 8Cout) kernel.
+
+    Channel layout matches :func:`space_to_depth` (offset-major).
+    Differentiable: implemented as a constant-index gather + mask.
+    """
+    assert factor == 2, "only factor 2 implemented"
+    rank = kernel.ndim - 2
+    k = kernel.shape[0]
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    kp, _ = _packing_plan(k, rank)
+    n_off = 2 ** rank
+
+    tap_index, mask = _pack_maps(k, rank)
+    taps = kernel.reshape(k ** rank, cin, cout)
+    # (kp^rank, E, D, cin, cout)
+    gathered = taps[tap_index]
+    gathered = jnp.where(jnp.asarray(mask)[..., None, None], gathered, 0)
+    # -> (kp^rank, E, cin, D, cout) -> (kp..., E*cin, D*cout)
+    packed = jnp.transpose(gathered, (0, 1, 3, 2, 4))
+    packed = packed.reshape((kp,) * rank + (n_off * cin, n_off * cout))
+    return packed.astype(kernel.dtype)
+
+
+def _dim_numbers(rank: int):
+    if rank == 2:
+        return ("NHWC", "HWIO", "NHWC")
+    if rank == 3:
+        return ("NDHWC", "DHWIO", "NDHWC")
+    raise ValueError(f"rank {rank}")
+
+
+def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+             preferred_element_type=jnp.float32) -> jnp.ndarray:
+    """SAME stride-1 conv computed in the space-to-depth domain.
+
+    Exactly equals ``lax.conv_general_dilated(x, kernel, 1, "SAME")`` for
+    odd kernels on even-sized inputs.
+    """
+    rank = kernel.ndim - 2
+    k = kernel.shape[0]
+    assert k % 2 == 1, "odd kernels only"
+    kp, _ = _packing_plan(k, rank)
+    packed = pack_kernel(kernel)
+    xp = space_to_depth(x)
+    # packed taps span a in [a_min, a_max] with a_min = -(h+1)//2... use
+    # explicit padding: original SAME pads h=k//2 voxels; on the packed grid
+    # that is ceil(h/2) packed voxels on the low side reachable via a_min.
+    h = k // 2
+    # padding per axis on packed grid: low = -a_min, high = a_max - ... we
+    # recover from plan entries directly:
+    _, entries = _packing_plan(k, rank)
+    # entries' packed taps are shifted to [0, kp-1]; lost a_min:
+    a_min = min(divmod(d + u, 2)[0] for d in (0, 1)
+                for u in range(-h, h + 1))
+    a_max = a_min + kp - 1
+    pad = (-a_min, a_max)
+    yp = jax.lax.conv_general_dilated(
+        xp, packed, (1,) * rank, [pad] * rank,
+        dimension_numbers=_dim_numbers(rank),
+        preferred_element_type=preferred_element_type)
+    return depth_to_space(yp.astype(x.dtype))
