@@ -25,7 +25,8 @@ _NETWORKS = {
 def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_channels: int = 16, num_levels: int = 4,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
-                  activation: str = None, norm: str = "batch", dtype=None):
+                  activation: str = None, norm: str = "batch", dtype=None,
+                  conv_impl: str = "auto"):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -42,7 +43,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                                       else num_convolutions),
                     bottom_convolutions=bottom_convolutions,
                     dropout_rate=dropout_rate,
-                    activation=activation or "relu", norm=norm, dtype=dtype)
+                    activation=activation or "relu", norm=norm, dtype=dtype,
+                    conv_impl=conv_impl)
     if name == "Dense":
         return Dense(num_classes=num_classes, num_levels=num_levels,
                      dropout_rate=dropout_rate,
@@ -53,13 +55,13 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             num_levels=num_levels, num_convolutions=tuple(num_convolutions),
             bottom_convolutions=bottom_convolutions,
             dropout_rate=dropout_rate, activation=activation or "prelu",
-            norm=norm, dtype=dtype)
+            norm=norm, dtype=dtype, conv_impl=conv_impl)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),
                 bottom_convolutions=bottom_convolutions,
                 dropout_rate=dropout_rate, activation=activation or "prelu",
-                norm=norm, dtype=dtype)
+                norm=norm, dtype=dtype, conv_impl=conv_impl)
 
 
 __all__ = [

@@ -148,6 +148,7 @@ class AttentionGatedVNet(nn.Module):
     norm: str = "batch"
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -162,6 +163,7 @@ class AttentionGatedVNet(nn.Module):
             norm=self.norm,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            conv_impl=self.conv_impl,
             name="vnet")
         logits_vnet = backbone(x, train)
 

@@ -170,9 +170,12 @@ class SpatialConv(nn.Module):
         else:
             dims = (("NHWC", "HWIO", "NHWC") if rank == 2
                     else ("NDHWC", "DHWIO", "NDHWC"))
+            # NB: no f32 preferred_element_type here — the conv VJP would
+            # then mix bf16 operands with f32 cotangents, which
+            # lax.conv_general_dilated rejects. The MXU accumulates bf16
+            # inputs in f32 internally regardless.
             y = jax.lax.conv_general_dilated(
-                x, kernel_c, strides, "SAME", dimension_numbers=dims,
-                preferred_element_type=jnp.float32).astype(compute_dtype)
+                x, kernel_c, strides, "SAME", dimension_numbers=dims)
         if bias is not None:
             y = y + bias.astype(compute_dtype)
         return y

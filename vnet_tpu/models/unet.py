@@ -29,13 +29,15 @@ class UNetConvBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
         for i in range(self.num_convolutions):
             x = conv(self.features, 3, rank, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                     impl=self.conv_impl)(x)
             x = Norm(self.norm, self.dtype, self.param_dtype,
                      name=f"norm_{i + 1}")(x, train)
             x = Activation(self.activation, self.param_dtype,
@@ -55,6 +57,7 @@ class UNetDecoderBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
@@ -64,7 +67,8 @@ class UNetDecoderBlock(nn.Module):
                  name="concat_norm")(x, train)
         for i in range(self.num_convolutions):
             x = conv(self.features, 3, rank, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name=f"conv_{i + 1}")(x)
+                     param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                     impl=self.conv_impl)(x)
             x = Norm(self.norm, self.dtype, self.param_dtype,
                      name=f"norm_{i + 1}")(x, train)
             x = Activation(self.activation, self.param_dtype,
@@ -96,19 +100,21 @@ class UNet(nn.Module):
     output_norm: bool = True
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    conv_impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
+        impl = "auto" if self.conv_impl in ("s2d", "auto") else "direct"
 
         skips = []
         for level in range(self.num_levels):
             x = UNetConvBlock(self.num_channels * (2 ** level),
                               self.num_convolutions, self.norm,
                               self.activation, self.dropout_rate, self.dtype,
-                              self.param_dtype,
+                              self.param_dtype, impl,
                               name=f"encoder_level_{level + 1}")(x, train)
             skips.append(x)
             x = max_pool(x)
@@ -116,7 +122,7 @@ class UNet(nn.Module):
         x = UNetConvBlock(self.num_channels * (2 ** self.num_levels),
                           self.bottom_convolutions, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
-                          self.param_dtype, name="bottom")(x, train)
+                          self.param_dtype, impl, name="bottom")(x, train)
 
         for level in reversed(range(self.num_levels)):
             x = UpConv(2, self.norm, self.activation, self.dtype,
@@ -124,7 +130,7 @@ class UNet(nn.Module):
             x = UNetDecoderBlock(self.num_channels * (2 ** level),
                                  self.num_convolutions, self.norm,
                                  self.activation, self.dropout_rate,
-                                 self.dtype, self.param_dtype,
+                                 self.dtype, self.param_dtype, impl,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skips[level], train)
 

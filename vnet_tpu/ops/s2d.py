@@ -160,7 +160,7 @@ def _dim_numbers(rank: int):
 
 
 def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray,
-             preferred_element_type=jnp.float32) -> jnp.ndarray:
+             preferred_element_type=None) -> jnp.ndarray:
     """SAME stride-1 conv computed in the space-to-depth domain.
 
     Exactly equals ``lax.conv_general_dilated(x, kernel, 1, "SAME")`` for
