@@ -152,19 +152,27 @@ class SpatialConv(nn.Module):
 
         strides = tuple(self.strides) if self.strides else (1,) * rank
         uniform_k = len(set(k)) == 1
+        even_spatial = all(s % 2 == 0 for s in x.shape[1:-1])
         can_s2d = (
             uniform_k and k[0] % 2 == 1 and k[0] >= 3
             and strides == (1,) * rank
-            and all(s % 2 == 0 for s in x.shape[1:-1])
+            and even_spatial
             and (2 ** rank) * max(in_features, self.features) <= 1024
         )
+        # stride-2 2^r conv: exactly one packed matmul (s2d_down_conv)
+        can_down = (uniform_k and k[0] == 2 and strides == (2,) * rank
+                    and even_spatial)
         use_s2d = (self.impl == "s2d" or (self.impl == "auto" and can_s2d))
+        use_down = self.impl in ("s2d", "auto") and can_down
         if use_s2d and not can_s2d:
             raise ValueError(
                 f"s2d conv not applicable: kernel={k}, strides={strides}, "
                 f"spatial={x.shape[1:-1]}")
 
-        if use_s2d:
+        if use_down:
+            from ..ops.s2d import s2d_down_conv
+            y = s2d_down_conv(x, kernel_c)
+        elif use_s2d:
             from ..ops.s2d import s2d_conv
             y = s2d_conv(x, kernel_c)
         else:
@@ -201,20 +209,57 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
     )
 
 
+class SpatialConvTranspose(nn.Module):
+    """SAME transpose conv with a selectable implementation; the
+    stride-2 2^r case lowers to matmul + depth-to-space
+    (`vnet_tpu/ops/s2d.py::s2d_up_conv`). Param names/shapes match
+    ``nn.ConvTranspose``."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    impl: str = "direct"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        rank = x.ndim - 2
+        k = tuple(self.kernel_size)
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", conv_kernel_init,
+                            k + (in_features, self.features),
+                            self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        compute_dtype = self.dtype or x.dtype
+        x = x.astype(compute_dtype)
+        kernel_c = kernel.astype(compute_dtype)
+
+        can_up = (k == (2,) * rank and tuple(self.strides) == (2,) * rank)
+        if self.impl in ("s2d", "auto") and can_up:
+            from ..ops.s2d import s2d_up_conv
+            y = s2d_up_conv(x, kernel_c)
+        else:
+            dims = (("NHWC", "HWIO", "NHWC") if rank == 2
+                    else ("NDHWC", "DHWIO", "NDHWC"))
+            y = jax.lax.conv_transpose(x, kernel_c, tuple(self.strides),
+                                       "SAME", dimension_numbers=dims)
+        return y + bias.astype(compute_dtype)
+
+
 def deconv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
            strides, dtype=None, param_dtype=jnp.float32,
-           name: Optional[str] = None) -> nn.ConvTranspose:
+           name: Optional[str] = None,
+           impl: str = "direct") -> SpatialConvTranspose:
     """SAME transpose convolution (`layers2.py:65-74`)."""
     if isinstance(kernel, int):
         kernel = (kernel,) * spatial_rank
-    return nn.ConvTranspose(
+    return SpatialConvTranspose(
         features=features,
         kernel_size=tuple(kernel),
         strides=tuple(strides),
-        padding="SAME",
-        use_bias=True,
-        kernel_init=conv_kernel_init,
-        bias_init=nn.initializers.zeros,
+        impl=impl,
         dtype=dtype,
         param_dtype=param_dtype,
         name=name,
@@ -230,6 +275,7 @@ class DownConv(nn.Module):
     activation: str = "prelu"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -237,7 +283,8 @@ class DownConv(nn.Module):
         ch = x.shape[-1]
         x = conv(ch * self.factor, self.factor, rank,
                  strides=(self.factor,) * rank, dtype=self.dtype,
-                 param_dtype=self.param_dtype, name="conv")(x)
+                 param_dtype=self.param_dtype, name="conv",
+                 impl=self.impl)(x)
         x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
         x = Activation(self.activation, self.param_dtype, name="act")(x)
         return x
@@ -252,6 +299,7 @@ class UpConv(nn.Module):
     activation: str = "prelu"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    impl: str = "direct"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -259,7 +307,8 @@ class UpConv(nn.Module):
         ch = x.shape[-1]
         x = deconv(ch // self.factor, self.factor, rank,
                    strides=(self.factor,) * rank, dtype=self.dtype,
-                   param_dtype=self.param_dtype, name="deconv")(x)
+                   param_dtype=self.param_dtype, name="deconv",
+                   impl=self.impl)(x)
         x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
         x = Activation(self.activation, self.param_dtype, name="act")(x)
         return x

@@ -126,7 +126,8 @@ class UNet(nn.Module):
 
         for level in reversed(range(self.num_levels)):
             x = UpConv(2, self.norm, self.activation, self.dtype,
-                       self.param_dtype, name=f"up_{level + 1}")(x, train)
+                       self.param_dtype, impl,
+                       name=f"up_{level + 1}")(x, train)
             x = UNetDecoderBlock(self.num_channels * (2 ** level),
                                  self.num_convolutions, self.norm,
                                  self.activation, self.dropout_rate,

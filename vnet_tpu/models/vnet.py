@@ -158,7 +158,7 @@ class VNet(nn.Module):
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append(x)
             x = DownConv(2, self.norm, self.activation, self.dtype,
-                         self.param_dtype,
+                         self.param_dtype, impl,
                          name=f"down_{level + 1}")(x, train)
 
         # bottom (networks.py:282-283)
@@ -169,7 +169,8 @@ class VNet(nn.Module):
         # decoder (networks.py:285-296)
         for level in reversed(range(self.num_levels)):
             x = UpConv(2, self.norm, self.activation, self.dtype,
-                       self.param_dtype, name=f"up_{level + 1}")(x, train)
+                       self.param_dtype, impl,
+                       name=f"up_{level + 1}")(x, train)
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
                                  self.dtype, self.param_dtype, impl,

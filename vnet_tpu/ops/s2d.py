@@ -151,6 +151,47 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return packed.astype(kernel.dtype)
 
 
+def s2d_down_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 2^r conv == a dense matmul on the space-to-depth grid.
+
+    ``lax.conv(x, k, strides=2, SAME)`` with a 2^r kernel touches each input
+    voxel exactly once: output voxel i reads input block 2i+offsets — which
+    is precisely one packed voxel. So the whole down-convolution
+    (`layers2.py:78-84`) is ``s2d(x) @ K`` with
+    ``K[(e, cin), cout] = kernel[e..., cin, cout]`` — MXU-dense regardless
+    of the original channel count.
+    """
+    rank = kernel.ndim - 2
+    assert all(kernel.shape[i] == 2 for i in range(rank))
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    xp = space_to_depth(x)
+    # kernel (2,..,2, cin, cout) -> ((e, cin), cout); e lexicographic matches
+    # space_to_depth's offset-major channel layout.
+    K = kernel.reshape(2 ** rank * cin, cout)
+    y = jnp.einsum("...i,io->...o", xp, K)
+    return y.astype(x.dtype)
+
+
+def s2d_up_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 2^r transpose conv == matmul + depth-to-space.
+
+    ``lax.conv_transpose(x, k, strides=2, SAME)`` writes each output voxel
+    ``2i + d`` from exactly one input voxel ``i`` with tap ``k[d]``:
+    ``y = d2s(x @ K)`` with ``K[cin, (d, cout)] = kernel[d..., cin, cout]``
+    (`layers2.py:88-94` semantics).
+    """
+    rank = kernel.ndim - 2
+    assert all(kernel.shape[i] == 2 for i in range(rank))
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    # conv_transpose writes the FLIPPED kernel: y[2i+d] = k[1-d] * x[i]
+    kernel = jnp.flip(kernel, axis=tuple(range(rank)))
+    # (2,..,2, cin, cout) -> (cin, (d, cout))
+    K = jnp.moveaxis(kernel.reshape(2 ** rank, cin, cout), 1, 0)
+    K = K.reshape(cin, 2 ** rank * cout)
+    y = jnp.einsum("...i,io->...o", x, K)
+    return depth_to_space(y.astype(x.dtype))
+
+
 def _dim_numbers(rank: int):
     if rank == 2:
         return ("NHWC", "HWIO", "NHWC")
