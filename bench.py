@@ -42,7 +42,7 @@ def main():
     model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
-                 dtype=jnp.bfloat16)
+                 dtype=jnp.bfloat16, conv_impl="s2d")
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
@@ -75,10 +75,12 @@ def main():
     labels = jnp.asarray(host.integers(0, num_classes,
                                        size=(batch, *patch)).astype(np.int32))
 
-    # warmup/compile
+    # warmup/compile; the float() host transfer is the only reliable full
+    # sync through remote-execution tunnels (block_until_ready can return
+    # before device completion there)
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, images, labels, rng)
-    jax.block_until_ready(loss)
+    float(loss)
 
     n_steps = 20
     t0 = time.perf_counter()
@@ -86,7 +88,7 @@ def main():
         params, batch_stats, opt_state, loss = step(
             params, batch_stats, opt_state, images, labels,
             jax.random.fold_in(rng, i))
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = max(len(jax.devices()), 1)
