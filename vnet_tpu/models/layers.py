@@ -38,19 +38,28 @@ ACTIVATIONS = ("relu", "prelu", "lrelu")
 
 
 class PReLU(nn.Module):
-    """Per-channel parametric ReLU, alpha init 0.1 (`layers2.py:97-99`)."""
+    """Per-channel parametric ReLU, alpha init 0.1 (`layers2.py:97-99`).
+
+    ``packed_groups > 1`` means the input is in the space-to-depth packed
+    domain with ``packed_groups * features`` channels (offset-major); the
+    per-channel alpha is tiled across offsets, keeping semantics exact.
+    """
 
     negative_slope_init: float = 0.1
     param_dtype: Dtype = jnp.float32
+    packed_groups: int = 1
 
     @nn.compact
     def __call__(self, x):
+        features = x.shape[-1] // self.packed_groups
         alpha = self.param(
             "alpha",
             nn.initializers.constant(self.negative_slope_init),
-            (x.shape[-1],),
+            (features,),
             self.param_dtype,
         ).astype(x.dtype)
+        if self.packed_groups > 1:
+            alpha = jnp.tile(alpha, self.packed_groups)
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
@@ -59,29 +68,95 @@ class Activation(nn.Module):
 
     kind: str = "relu"
     param_dtype: Dtype = jnp.float32
+    packed_groups: int = 1
 
     @nn.compact
     def __call__(self, x):
         if self.kind == "relu":
             return nn.relu(x)
         if self.kind == "prelu":
-            return PReLU(param_dtype=self.param_dtype, name="prelu")(x)
+            return PReLU(param_dtype=self.param_dtype,
+                         packed_groups=self.packed_groups, name="prelu")(x)
         if self.kind == "lrelu":
             return nn.leaky_relu(x)
         raise ValueError(f"Unknown activation: {self.kind!r}")
 
 
+class PackedBatchNorm(nn.Module):
+    """BatchNorm over space-to-depth packed activations.
+
+    The input has ``groups * features`` channels (offset-major packed
+    layout); statistics are reduced over batch, packed-spatial AND offset
+    groups, which equals the unpacked per-channel statistics exactly.
+    Parameter/variable names and shapes match ``nn.BatchNorm`` (scale,
+    bias, mean, var of shape ``(features,)``), so checkpoints interchange
+    with the unpacked path.
+    """
+
+    features: int
+    groups: int
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+
+        xg = x.reshape(x.shape[:-1] + (self.groups, c))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            axes = tuple(range(xg.ndim - 1))
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        compute = x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        y = (xg.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+        return y.astype(compute).reshape(x.shape)
+
+
 class Norm(nn.Module):
-    """Normalization selected by ``kind`` — see module docstring."""
+    """Normalization selected by ``kind`` — see module docstring.
+
+    ``packed_groups > 1`` signals packed-domain input (batch kinds only).
+    """
 
     kind: str = "batch"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    packed_groups: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.kind == "none":
             return x
+        if self.packed_groups > 1:
+            if self.kind not in ("batch", "batch_stats"):
+                raise ValueError(
+                    f"packed norm only supports batch kinds, got {self.kind}")
+            return PackedBatchNorm(
+                features=x.shape[-1] // self.packed_groups,
+                groups=self.packed_groups,
+                use_running_average=(self.kind == "batch" and not train),
+                dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
         if self.kind == "batch":
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
@@ -134,12 +209,17 @@ class SpatialConv(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    # packed=True: input AND output live in the space-to-depth domain
+    # (offset-major channels); the kernel parameter keeps its original
+    # (k..., Cin, Cout) shape — packing happens at apply time.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         rank = x.ndim - 2
         k = tuple(self.kernel_size)
-        in_features = x.shape[-1]
+        in_features = (x.shape[-1] // (2 ** rank) if self.packed
+                       else x.shape[-1])
         kernel = self.param("kernel", conv_kernel_init,
                             k + (in_features, self.features),
                             self.param_dtype)
@@ -149,6 +229,13 @@ class SpatialConv(nn.Module):
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
         kernel_c = kernel.astype(compute_dtype)
+
+        if self.packed:
+            from ..ops.s2d import packed_conv
+            y = packed_conv(x, kernel_c)
+            if bias is not None:
+                y = y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
+            return y
 
         strides = tuple(self.strides) if self.strides else (1,) * rank
         uniform_k = len(set(k)) == 1
@@ -192,7 +279,7 @@ class SpatialConv(nn.Module):
 def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          strides=None, dtype=None, param_dtype=jnp.float32,
          name: Optional[str] = None, use_bias: bool = True,
-         impl: str = "direct") -> SpatialConv:
+         impl: str = "direct", packed: bool = False) -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
@@ -205,6 +292,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
         use_bias=use_bias,
         dtype=dtype,
         param_dtype=param_dtype,
+        packed=packed,
         name=name,
     )
 

@@ -50,15 +50,45 @@ class ConvBlock(nn.Module):
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
 
+    def _packed_ok(self, x, ch):
+        rank = x.ndim - 2
+        return (self.conv_impl == "packed"
+                and self.norm in ("batch", "batch_stats")
+                and self.kernel_size % 2 == 1
+                and all(s % 2 == 0 for s in x.shape[1:-1])
+                and (2 ** rank) * ch <= 1024)
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
         ch = x.shape[-1]
+        if self._packed_ok(x, ch):
+            # whole block runs in the space-to-depth domain: one pack at
+            # entry, one unpack at exit, instead of two transposes per conv
+            from ..ops.s2d import depth_to_space, space_to_depth
+            groups = 2 ** rank
+            x = space_to_depth(x)
+            block_input = x
+            for i in range(self.num_convolutions):
+                x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                         packed=True)(x)
+                if i == self.num_convolutions - 1:
+                    x = x + block_input
+                x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                         name=f"norm_{i + 1}")(x, train)
+                x = Activation(self.activation, self.param_dtype, groups,
+                               name=f"act_{i + 1}")(x)
+                x = nn.Dropout(rate=self.dropout_rate,
+                               deterministic=not train)(x)
+            return depth_to_space(x)
+
+        impl = "auto" if self.conv_impl == "packed" else self.conv_impl
         block_input = x
         for i in range(self.num_convolutions):
             x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                     impl=self.conv_impl)(x)
+                     impl=impl)(x)
             if i == self.num_convolutions - 1:
                 x = x + block_input
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -83,17 +113,49 @@ class DecoderConvBlock(nn.Module):
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
 
+    def _packed_ok(self, x, ch):
+        rank = x.ndim - 2
+        return (self.conv_impl == "packed"
+                and self.norm in ("batch", "batch_stats")
+                and self.kernel_size % 2 == 1
+                and all(s % 2 == 0 for s in x.shape[1:-1])
+                and (2 ** rank) * 2 * ch <= 2048)
+
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         rank = x.ndim - 2
         ch = x.shape[-1]
+        if self._packed_ok(x, ch):
+            from ..ops.s2d import depth_to_space, space_to_depth
+            groups = 2 ** rank
+            xp = space_to_depth(jnp.concatenate([x, skip], axis=-1))
+            # packed residual = the up-conv half of every offset group
+            # (offset-major layout: channels [e*2c + c'], c' < ch)
+            res = xp.reshape(xp.shape[:-1] + (groups, 2 * ch))[..., :ch]
+            residual = res.reshape(xp.shape[:-1] + (groups * ch,))
+            x = xp
+            for i in range(self.num_convolutions):
+                x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name=f"conv_{i + 1}",
+                         packed=True)(x)
+                if i == self.num_convolutions - 1:
+                    x = x + residual
+                x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                         name=f"norm_{i + 1}")(x, train)
+                x = Activation(self.activation, self.param_dtype, groups,
+                               name=f"act_{i + 1}")(x)
+                x = nn.Dropout(rate=self.dropout_rate,
+                               deterministic=not train)(x)
+            return depth_to_space(x)
+
+        impl = "auto" if self.conv_impl == "packed" else self.conv_impl
         residual = x  # up-convolved features, n channels
         x = jnp.concatenate([x, skip], axis=-1)
         for i in range(self.num_convolutions):
             out_ch = ch
             x = conv(out_ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                     impl=self.conv_impl)(x)
+                     impl=impl)(x)
             if i == self.num_convolutions - 1:
                 x = x + residual
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -132,7 +194,11 @@ class VNet(nn.Module):
         rank = x.ndim - 2
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
-        impl = "auto" if self.conv_impl in ("s2d", "auto") else "direct"
+        # block_impl may be "packed" (whole conv blocks in the s2d domain);
+        # the stride-2 down/up convs and 1^r output conv use the pointwise
+        # "auto" selection in every non-direct mode.
+        block_impl = "auto" if self.conv_impl == "s2d" else self.conv_impl
+        impl = "auto" if block_impl in ("packed", "auto") else "direct"
 
         # input layer (networks.py:253-266)
         in_ch = x.shape[-1]
@@ -154,7 +220,7 @@ class VNet(nn.Module):
         for level in range(self.num_levels):
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
-                          self.param_dtype, impl,
+                          self.param_dtype, block_impl,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append(x)
             x = DownConv(2, self.norm, self.activation, self.dtype,
@@ -164,7 +230,7 @@ class VNet(nn.Module):
         # bottom (networks.py:282-283)
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
-                      self.param_dtype, impl, name="bottom")(x, train)
+                      self.param_dtype, block_impl, name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
         for level in reversed(range(self.num_levels)):
@@ -173,7 +239,7 @@ class VNet(nn.Module):
                        name=f"up_{level + 1}")(x, train)
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
-                                 self.dtype, self.param_dtype, impl,
+                                 self.dtype, self.param_dtype, block_impl,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skips[level], train)
 

@@ -151,6 +151,39 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return packed.astype(kernel.dtype)
 
 
+def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
+                preferred_element_type=None) -> jnp.ndarray:
+    """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
+    without the transposes. ``xp`` is ``(B, *spatial/2, 2^r * Cin)``
+    offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
+    """
+    rank = kernel.ndim - 2
+    k = kernel.shape[0]
+    assert k % 2 == 1
+    kp, _ = _packing_plan(k, rank)
+    packed = pack_kernel(kernel)
+    h = k // 2
+    a_min = min(divmod(d + u, 2)[0] for d in (0, 1)
+                for u in range(-h, h + 1))
+    a_max = a_min + kp - 1
+    pad = (-a_min, a_max)
+    return jax.lax.conv_general_dilated(
+        xp, packed, (1,) * rank, [pad] * rank,
+        dimension_numbers=_dim_numbers(rank),
+        preferred_element_type=preferred_element_type).astype(xp.dtype)
+
+
+def packed_down_conv(xp: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Down-convolution consuming a packed input directly: the stride-2
+    2^r conv is one matmul over the packed channels; output is UNPACKED on
+    the half-resolution grid."""
+    rank = kernel.ndim - 2
+    assert all(kernel.shape[i] == 2 for i in range(rank))
+    cin, cout = kernel.shape[-2], kernel.shape[-1]
+    K = kernel.reshape(2 ** rank * cin, cout)
+    return jnp.einsum("...i,io->...o", xp, K).astype(xp.dtype)
+
+
 def s2d_down_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """Stride-2 2^r conv == a dense matmul on the space-to-depth grid.
 
