@@ -228,10 +228,10 @@ class Trainer:
         else:
             state, loss, aux, metrics = self._train_step_fn(
                 state, images, labels, rng)
-        out = TrainStepOutput(
-            loss=float(loss),
-            aux={k: float(v) for k, v in aux.items()},
-            metrics={k: float(v) for k, v in metrics.items()})
+        # values stay on device: converting here would synchronize the host
+        # with every step and stall the dispatch pipeline. Consumers
+        # (logging) convert lazily — float() works on 0-d jax arrays.
+        out = TrainStepOutput(loss=loss, aux=dict(aux), metrics=dict(metrics))
         return state, out
 
     def eval_step(self, state: TrainState, images, labels) -> TrainStepOutput:
@@ -239,10 +239,8 @@ class Trainer:
         loss, aux, metrics = self._eval_step_fn(
             state, jnp.asarray(images, jnp.float32),
             jnp.asarray(labels, jnp.int32))
-        return TrainStepOutput(
-            loss=float(loss),
-            aux={k: float(v) for k, v in aux.items()},
-            metrics={k: float(v) for k, v in metrics.items()})
+        return TrainStepOutput(loss=loss, aux=dict(aux),
+                               metrics=dict(metrics))
 
     # ------------------------------------------------------------------
     # data
@@ -278,21 +276,25 @@ class Trainer:
                 os.path.join(self.t.log_dir, tag))
         return self._writers[tag]
 
-    def _log_scalars(self, tag: str, step: int, out: TrainStepOutput):
+    def _log_scalars(self, tag: str, step: int, out: TrainStepOutput) -> float:
+        """Write TB scalars (host-syncing the step's values) and return the
+        loss as a float."""
+        loss = float(out.loss)
         w = self._writer(tag)
         if w is None:
-            return
+            return loss
         class_ids = self.t.segmentation_classes
-        w.add_scalar("loss/0.total_loss", out.loss, step)
+        w.add_scalar("loss/0.total_loss", loss, step)
         for k, v in out.aux.items():
             if k != "total_loss":
-                w.add_scalar(f"loss/{k}", v, step)
+                w.add_scalar(f"loss/{k}", float(v), step)
         w.add_scalar("learning_rate", float(self.lr_schedule(step)), step)
         for k, v in out.metrics.items():
             if "_" in k and k.rsplit("_", 1)[-1].isdigit():
                 base, idx = k.rsplit("_", 1)
                 k = f"{base}_{class_ids[int(idx)]}"  # index -> class id
-            w.add_scalar(f"metrics/{k}", v, step)
+            w.add_scalar(f"metrics/{k}", float(v), step)
+        return loss
 
     def _log_images(self, tag: str, step: int, state: TrainState,
                     images: np.ndarray, labels: np.ndarray):
@@ -342,19 +344,23 @@ class Trainer:
         for epoch in range(start_epoch, t.epochs):
             epoch_loss, count = 0.0, 0
             t0 = time.time()
+            step = int(state.step)
+            pending = None  # (step, out) logged one step late so the host
+            # fetch overlaps the next step's device execution
             for batch in train_loader.epoch():
                 images, labels, *rest = batch
                 dmaps = rest[0] if rest else None
-                if int(state.step) >= limit:
+                if step >= limit:
                     print(f"Reach maximum iteration steps, training abort.")
                     mgr.save(state)
                     return state
                 state, out = self.train_step(state, images, labels, rng,
                                              distance_maps=dmaps)
-                step = int(state.step)
-                epoch_loss += out.loss
-                count += 1
-                self._log_scalars("train", step, out)
+                step += 1
+                if pending is not None:
+                    epoch_loss += self._log_scalars("train", *pending)
+                    count += 1
+                pending = (step, out)
 
                 if step % t.log_interval == 0:
                     mgr.save(state)
@@ -370,6 +376,9 @@ class Trainer:
                     tout = self.eval_step(state, timages, tlabels)
                     self._log_scalars("test", step, tout)
 
+            if pending is not None:
+                epoch_loss += self._log_scalars("train", *pending)
+                count += 1
             dt = time.time() - t0
             if count:
                 print(f"Epoch {epoch + 1}: loss {epoch_loss / count:.4f} "
