@@ -26,7 +26,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_channels: int = 16, num_levels: int = 4,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
                   activation: str = None, norm: str = "batch", dtype=None,
-                  conv_impl: str = "auto"):
+                  conv_impl: str = "packed"):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
