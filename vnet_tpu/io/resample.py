@@ -48,6 +48,19 @@ def resample_to_grid(
 
     order = _ORDER[interpolator]
     src = np.asarray(image.data)
+
+    # native threaded path (csrc/host_ops.cc) when built — same semantics,
+    # validated against scipy in tests/test_native.py
+    if n == 3 and _native_available():
+        from .. import native
+        resampled = native.resample3d(src, out_size, M, offset,
+                                      nearest=(order == 0),
+                                      default_value=default_value)
+        if order == 0:
+            resampled = resampled.astype(src.dtype, copy=False)
+        out.data = resampled
+        return out
+
     compute_dtype = src.dtype if order == 0 else np.promote_types(src.dtype, np.float32)
     resampled = ndimage.affine_transform(
         src.astype(compute_dtype, copy=False),
@@ -63,6 +76,20 @@ def resample_to_grid(
         resampled = resampled.astype(src.dtype, copy=False)
     out.data = resampled
     return out
+
+
+_NATIVE_OK = None
+
+
+def _native_available() -> bool:
+    global _NATIVE_OK
+    if _NATIVE_OK is None:
+        try:
+            from .. import native
+            _NATIVE_OK = native.available()
+        except Exception:
+            _NATIVE_OK = False
+    return _NATIVE_OK
 
 
 def resample_to_spacing(
