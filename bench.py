@@ -35,14 +35,14 @@ def main():
     from vnet_tpu.ops.losses import segmentation_loss
 
     patch = (64, 64, 64)
-    batch = 8
+    batch = 16
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
     model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
-                 dtype=jnp.bfloat16, conv_impl="s2d")
+                 dtype=jnp.bfloat16, conv_impl="packed")
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
