@@ -148,3 +148,35 @@ def test_dataset2d_with_2d_transforms(tmp_path, rng):
     img, lbl = ds.get_sample(0)
     assert img.shape == (16, 16, 1)
     assert lbl.shape == (16, 16)
+
+
+class FlakyDataset:
+    """Every odd sample index raises."""
+
+    def __init__(self, n=6):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def get_sample(self, i):
+        if i % 2:
+            raise RuntimeError(f"corrupt sample {i}")
+        img = np.full((4, 4, 4, 1), float(i), np.float32)
+        return img, np.zeros((4, 4, 4), np.int32)
+
+
+@pytest.mark.parametrize("workers", [0, 2])
+def test_loader_skip_errors(workers):
+    loader = BatchLoader(FlakyDataset(), batch_size=1, shuffle=False,
+                         num_workers=workers, skip_errors=True)
+    batches = list(loader.epoch())
+    assert len(batches) == 3  # 0, 2, 4 survive
+    assert loader.error_count == 3
+
+
+def test_loader_raises_without_skip():
+    loader = BatchLoader(FlakyDataset(), batch_size=1, shuffle=False,
+                         num_workers=0, skip_errors=False)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        list(loader.epoch())

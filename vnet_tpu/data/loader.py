@@ -36,7 +36,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  drop_remainder: bool = True, num_workers: int = 2,
-                 prefetch: int = 8, seed: Optional[int] = None):
+                 prefetch: int = 8, seed: Optional[int] = None,
+                 skip_errors: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +45,11 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = max(prefetch, batch_size)
         self._epoch_rng = np.random.default_rng(seed)
+        # skip_errors=True logs and drops failing samples instead of
+        # aborting the epoch — the reference hard-exits the process on any
+        # preprocessing error (NiftiDataset3D.py:143-147, SURVEY.md §5.3)
+        self.skip_errors = skip_errors
+        self.error_count = 0
 
     def _order(self):
         order = np.arange(len(self.dataset))
@@ -53,7 +59,13 @@ class BatchLoader:
 
     def _iter_samples_sync(self, order) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         for i in order:
-            yield self.dataset.get_sample(int(i))
+            try:
+                yield self.dataset.get_sample(int(i))
+            except Exception as e:
+                if not self.skip_errors:
+                    raise
+                self.error_count += 1
+                print(f"BatchLoader: skipping failed sample {i}: {e}")
 
     def _iter_samples_threaded(self, order) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         task_q: "queue.Queue" = queue.Queue()
@@ -89,7 +101,11 @@ class BatchLoader:
                 sample, err = pending.pop(next_pos)
                 next_pos += 1
                 if err is not None:
-                    raise err
+                    if not self.skip_errors:
+                        raise err
+                    self.error_count += 1
+                    print(f"BatchLoader: skipping failed sample: {err}")
+                    continue
                 yield sample
         finally:
             stop.set()
