@@ -133,6 +133,72 @@ class PackedBatchNorm(nn.Module):
         return y.astype(compute).reshape(x.shape)
 
 
+class _TiledBNCore(nn.Module):
+    """Variable container + math for :class:`TiledInputBatchNorm`; named
+    "bn" by its parent so variable paths match ``Norm``'s ``nn.BatchNorm``.
+    """
+
+    features: int
+    use_running_average: bool = False
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1):
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,),
+                          self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+
+        xf = x1.astype(jnp.float32)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mu = jnp.mean(xf)
+            var_s = jnp.mean(jnp.square(xf)) - jnp.square(mu)
+            mean = jnp.full((c,), mu.astype(jnp.float32))
+            var = jnp.full((c,), var_s.astype(jnp.float32))
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
+        # broadcast the single channel through per-channel affine: the
+        # C-wide tensor only materializes here, fused into the next conv
+        y = xf * inv + (bias.astype(jnp.float32) - mean * inv)
+        return y.astype(x1.dtype)
+
+
+class TiledInputBatchNorm(nn.Module):
+    """Fused replacement for the V-Net input layer's ``tile(1->C) + BN``
+    (`networks.py:253-259`): every tiled channel holds identical data, so
+    per-channel batch statistics equal the 1-channel statistics — normalize
+    once and broadcast through the per-channel scale/bias. Variable
+    names/shapes match ``Norm(kind)(tile(x))`` exactly (checkpoints
+    interchange; equality tested in tests/test_models.py).
+    """
+
+    features: int
+    kind: str = "batch"  # "batch" | "batch_stats"
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert x.shape[-1] == 1
+        use_ra = self.kind == "batch" and not train
+        return _TiledBNCore(self.features, use_running_average=use_ra,
+                            param_dtype=self.param_dtype, name="bn")(x)
+
+
 class Norm(nn.Module):
     """Normalization selected by ``kind`` — see module docstring.
 

@@ -203,9 +203,18 @@ class VNet(nn.Module):
         # input layer (networks.py:253-266)
         in_ch = x.shape[-1]
         if in_ch == 1:
-            x = jnp.tile(x, (1,) * (rank + 1) + (self.num_channels,))
-            x = Norm(self.norm, self.dtype, self.param_dtype,
-                     name="input_norm")(x, train)
+            if self.norm in ("batch", "batch_stats"):
+                # fused tile+BN: identical-channel statistics allow
+                # normalizing the single channel and broadcasting through
+                # the per-channel affine (see layers.TiledInputBatchNorm)
+                from .layers import TiledInputBatchNorm
+                x = TiledInputBatchNorm(self.num_channels, self.norm,
+                                        self.dtype, self.param_dtype,
+                                        name="input_norm")(x, train)
+            else:
+                x = jnp.tile(x, (1,) * (rank + 1) + (self.num_channels,))
+                x = Norm(self.norm, self.dtype, self.param_dtype,
+                         name="input_norm")(x, train)
         else:
             x = conv(self.num_channels, 5, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="input_conv",
