@@ -168,3 +168,30 @@ def test_restore_false_wipes_dirs(tmp_path, rng):
     cfg.train.restore = False
     Trainer(cfg, log=False).train()
     assert not os.path.exists(marker)  # model.py:678-687
+
+
+def test_scan_steps_training(tmp_path, rng):
+    """ScanSteps>1 runs K optimizer steps per jitted call with identical
+    bookkeeping (step counter, logging cadence)."""
+    cpath = write_config(tmp_path, rng, max_iterations=4, num_cases=4,
+                         ScanSteps=2)
+    cfg = load_config(cpath)
+    assert cfg.train.scan_steps == 2
+    trainer = Trainer(cfg, log=False)
+    state = trainer.init_state()
+    shape = trainer.batch_shape()
+    sup_i = rng.normal(size=(2, *shape)).astype(np.float32)
+    sup_l = (rng.random((2, *shape[:-1])) > 0.7).astype(np.int32)
+    state, outs = trainer.train_steps_scanned(state, sup_i, sup_l,
+                                              jax.random.PRNGKey(0))
+    assert len(outs) == 2
+    assert int(state.step) == 2
+    assert all(np.isfinite(float(o.loss)) for o in outs)
+
+
+def test_scan_steps_full_loop(tmp_path, rng):
+    cpath = write_config(tmp_path, rng, max_iterations=2, num_cases=4,
+                         ScanSteps=2)
+    cfg = load_config(cpath)
+    state = Trainer(cfg, log=False).train()
+    assert int(state.step) == 2

@@ -104,6 +104,9 @@ class TrainingConfig:
     precision: str = "float32"
     mesh_data_parallel: int = 0  # 0 = all visible devices
     seed: int = 0
+    # >1: run this many optimizer steps inside one jitted lax.scan over a
+    # stacked super-batch — amortizes per-call dispatch overhead
+    scan_steps: int = 1
 
     @property
     def dimension(self) -> int:
@@ -210,6 +213,7 @@ def parse_config(tree: dict) -> Config:
         min_pixel=int(ts.get("MinPixel", 30)),
         pipeline_path=ts.get("Pipeline", ""),
         precision=ts.get("Precision", "float32"),
+        scan_steps=int(ts.get("ScanSteps", 1)),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
         seed=int(ts.get("Seed", 0)),

@@ -212,6 +212,22 @@ class Trainer:
         self._eval_step_fn = jax.jit(
             raw_eval, in_shardings=(rep, bsh, bsh), out_shardings=rep)
 
+        if self.t.scan_steps > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+            super_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+            def multi(state, images, labels, rng):
+                def body(st, inp):
+                    st, loss, aux, metrics = raw(st, inp[0], inp[1], rng)
+                    return st, (loss, aux, metrics)
+                state, outs = jax.lax.scan(body, state, (images, labels))
+                return state, outs
+
+            self._scan_step_fn = jax.jit(
+                multi, in_shardings=(rep, super_sh, super_sh, rep),
+                out_shardings=rep, donate_argnums=(0,))
+
     def train_step(self, state: TrainState, images: np.ndarray,
                    labels: np.ndarray, rng,
                    distance_maps: Optional[np.ndarray] = None,
@@ -233,6 +249,26 @@ class Trainer:
         # (logging) convert lazily — float() works on 0-d jax arrays.
         out = TrainStepOutput(loss=loss, aux=dict(aux), metrics=dict(metrics))
         return state, out
+
+    def train_steps_scanned(self, state: TrainState, images: np.ndarray,
+                            labels: np.ndarray, rng):
+        """Run ``scan_steps`` optimizer steps in one jitted call over a
+        stacked super-batch ``(K, B, ...)``. Returns
+        ``(state, [TrainStepOutput x K])`` — dropout keys derive from the
+        in-scan step counter, so each sub-step gets fresh randomness.
+        """
+        self._build_steps()
+        state, (losses, auxs, metricss) = self._scan_step_fn(
+            state, jnp.asarray(images, jnp.float32),
+            jnp.asarray(labels, jnp.int32), rng)
+        outs = []
+        k = losses.shape[0]
+        for i in range(k):
+            outs.append(TrainStepOutput(
+                loss=losses[i],
+                aux={kk: v[i] for kk, v in auxs.items()},
+                metrics={kk: v[i] for kk, v in metricss.items()}))
+        return state, outs
 
     def eval_step(self, state: TrainState, images, labels) -> TrainStepOutput:
         self._build_steps()
@@ -347,6 +383,8 @@ class Trainer:
             step = int(state.step)
             pending = None  # (step, out) logged one step late so the host
             # fetch overlaps the next step's device execution
+            scan_k = self.t.scan_steps if not self.is_attention else 1
+            scan_buf = []
             for batch in train_loader.epoch():
                 images, labels, *rest = batch
                 dmaps = rest[0] if rest else None
@@ -354,13 +392,29 @@ class Trainer:
                     print(f"Reach maximum iteration steps, training abort.")
                     mgr.save(state)
                     return state
-                state, out = self.train_step(state, images, labels, rng,
-                                             distance_maps=dmaps)
-                step += 1
-                if pending is not None:
-                    epoch_loss += self._log_scalars("train", *pending)
-                    count += 1
-                pending = (step, out)
+                if scan_k > 1:
+                    scan_buf.append((images, labels))
+                    if len(scan_buf) < scan_k:
+                        continue
+                    sim = np.stack([b[0] for b in scan_buf])
+                    slb = np.stack([b[1] for b in scan_buf])
+                    scan_buf = []
+                    state, outs = self.train_steps_scanned(state, sim, slb,
+                                                           rng)
+                    for out in outs:
+                        step += 1
+                        if pending is not None:
+                            epoch_loss += self._log_scalars("train", *pending)
+                            count += 1
+                        pending = (step, out)
+                else:
+                    state, out = self.train_step(state, images, labels, rng,
+                                                 distance_maps=dmaps)
+                    step += 1
+                    if pending is not None:
+                        epoch_loss += self._log_scalars("train", *pending)
+                        count += 1
+                    pending = (step, out)
 
                 if step % t.log_interval == 0:
                     mgr.save(state)
