@@ -107,6 +107,9 @@ class TrainingConfig:
     # >1: run this many optimizer steps inside one jitted lax.scan over a
     # stacked super-batch — amortizes per-call dispatch overhead
     scan_steps: int = 1
+    # PRNG implementation for dropout keys: "rbg" is several times faster
+    # than threefry on TPU for large dropout masks
+    rng_impl: str = "rbg"
 
     @property
     def dimension(self) -> int:
@@ -214,6 +217,7 @@ def parse_config(tree: dict) -> Config:
         pipeline_path=ts.get("Pipeline", ""),
         precision=ts.get("Precision", "float32"),
         scan_steps=int(ts.get("ScanSteps", 1)),
+        rng_impl=ts.get("RngImpl", "rbg"),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
         seed=int(ts.get("Seed", 0)),

@@ -373,7 +373,7 @@ class Trainer:
                        if t.testing and t.test_data_dir else None)
         test_iter = iter(()) if test_loader is None else iter(test_loader.epoch())
 
-        rng = jax.random.PRNGKey(t.seed + 1)
+        rng = jax.random.key(t.seed + 1, impl=t.rng_impl)
         limit = t.max_iterations if max_steps is None else max_steps
 
         start_epoch = int(state.epoch)
