@@ -6,14 +6,17 @@ Prints ONE JSON line:
 Metric matches BASELINE.json: training patches/sec/chip at 64^3 on the
 reference network configuration (V-Net, 16 channels, 4 levels, convs
 (1,2,3,3), bottom 3, PReLU, batch norm, Adam + weighted sorensen —
-configs/config.json:18-46 of the reference).
+configs/config.json:18-46 of the reference). Runs the optimized production
+path: packed space-to-depth convs, bf16 compute, rbg dropout keys, and an
+8-step lax.scan per dispatch (the Trainer's ScanSteps mode).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is computed against REFERENCE_TF1_PATCHES_PER_SEC — a documented
 estimate of the TF1 1.15 single-GPU reference at the same 64^3 workload
-(~28M-param V-Net forward+backward + per-step feed_dict host round trip,
-measured class of hardware: V100-16GB). The BASELINE.json north star is
->= 10x this per chip.
+(~V-Net fwd+bwd + per-step feed_dict host round trip on a V100-16GB).
+
+Sync note: through this environment's remote TPU tunnel, only a scalar
+host transfer (float(loss)) reliably waits for device completion.
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ def main():
 
     patch = (64, 64, 64)
     batch = 16
+    scan_k = 8
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
@@ -47,13 +51,16 @@ def main():
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, x, train=True)
-    params = variables["params"]
-    batch_stats = variables["batch_stats"]
-
     tx = optax.adam(optax.exponential_decay(1e-2, 100, 0.99))
-    opt_state = tx.init(params)
 
-    def train_step(params, batch_stats, opt_state, images, labels, step_rng):
+    host = np.random.default_rng(0)
+    images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
+    labels = jnp.asarray(host.integers(0, num_classes,
+                                       size=(batch, *patch)).astype(np.int32))
+
+    def train_step(carry, step_rng):
+        params, batch_stats, opt_state = carry
+
         def loss_fn(p):
             out, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats}, images, train=True,
@@ -65,34 +72,30 @@ def main():
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        return new_params, new_bs, new_opt, loss
+        return (optax.apply_updates(params, updates), new_bs, new_opt), loss
 
-    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    @jax.jit
+    def run_block(carry, keys):
+        carry, losses = jax.lax.scan(train_step, carry, keys)
+        return carry, losses[-1]
 
-    host = np.random.default_rng(0)
-    images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
-    labels = jnp.asarray(host.integers(0, num_classes,
-                                       size=(batch, *patch)).astype(np.int32))
+    key = jax.random.key(1, impl="rbg")
+    carry = (variables["params"], variables["batch_stats"],
+             tx.init(variables["params"]))
 
-    # warmup/compile; the float() host transfer is the only reliable full
-    # sync through remote-execution tunnels (block_until_ready can return
-    # before device completion there)
-    params, batch_stats, opt_state, loss = step(
-        params, batch_stats, opt_state, images, labels, rng)
-    float(loss)
+    carry, loss = run_block(carry, jax.random.split(key, scan_k))
+    float(loss)  # compile + full sync
 
-    n_steps = 20
+    n_blocks = 3
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, batch_stats, opt_state, loss = step(
-            params, batch_stats, opt_state, images, labels,
-            jax.random.fold_in(rng, i))
+    for i in range(n_blocks):
+        carry, loss = run_block(
+            carry, jax.random.split(jax.random.fold_in(key, i), scan_k))
     float(loss)
     dt = time.perf_counter() - t0
 
     n_chips = max(len(jax.devices()), 1)
-    patches_per_sec_per_chip = (batch * n_steps) / dt / n_chips
+    patches_per_sec_per_chip = (batch * scan_k * n_blocks) / dt / n_chips
 
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_64cube_vnet",
