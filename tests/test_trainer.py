@@ -195,3 +195,34 @@ def test_scan_steps_full_loop(tmp_path, rng):
     cfg = load_config(cpath)
     state = Trainer(cfg, log=False).train()
     assert int(state.step) == 2
+
+
+def test_device_augment(tmp_path, rng):
+    """DeviceAugment moves flip/noise into the jitted step; host chain
+    keeps only the geometry transforms."""
+    cpath = write_config(tmp_path, rng, max_iterations=2,
+                         DeviceAugment=True)
+    import json as _json
+    with open(cpath) as f:
+        tree = _json.load(f)
+    # add flip+noise to the train pipeline
+    ppath = tree["TrainingSetting"]["Pipeline"]
+    import yaml as _yaml
+    with open(ppath) as f:
+        pipe = _yaml.safe_load(f)
+    pipe["preprocess"]["train"]["3D"] += [
+        {"name": "RandomFlip", "variables": {"axes": [True, False, False]}},
+        {"name": "RandomNoise", "variables": {"sigma": 3}},
+    ]
+    with open(ppath, "w") as f:
+        _yaml.safe_dump(pipe, f)
+
+    cfg = load_config(cpath)
+    assert cfg.train.device_augment
+    trainer = Trainer(cfg, log=False)
+    loader = trainer.build_loader(cfg.train.data_dir, "train")
+    names = [t.name for t in loader.dataset.transforms]
+    assert "Flip" not in names and "Random Noise" not in names
+    assert trainer._device_aug == ((0,), 3.0)
+    state = trainer.train()
+    assert int(state.step) == 2

@@ -110,6 +110,9 @@ class TrainingConfig:
     # PRNG implementation for dropout keys: "rbg" is several times faster
     # than threefry on TPU for large dropout masks
     rng_impl: str = "rbg"
+    # move RandomFlip/RandomNoise from the host transform chain into the
+    # jitted train step (fused on-device augmentation)
+    device_augment: bool = False
 
     @property
     def dimension(self) -> int:
@@ -218,6 +221,7 @@ def parse_config(tree: dict) -> Config:
         precision=ts.get("Precision", "float32"),
         scan_steps=int(ts.get("ScanSteps", 1)),
         rng_impl=ts.get("RngImpl", "rbg"),
+        device_augment=bool(ts.get("DeviceAugment", False)),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
         seed=int(ts.get("Seed", 0)),

@@ -66,15 +66,30 @@ class TrainStepOutput:
 
 
 def make_train_step(network, tx, loss_cfg, num_classes: int,
-                    is_attention: bool, compute_metrics: bool = True):
+                    is_attention: bool, compute_metrics: bool = True,
+                    device_augment=None):
     """Build the pure train-step function (to be jitted with donation).
 
     For attention-gated networks the step takes an extra ``distance_maps``
     array and adds the gate's distance-map regression loss
-    (`train.py:383-401, 415-417` semantics: total = seg + attention)."""
+    (`train.py:383-401, 415-417` semantics: total = seg + attention).
+
+    ``device_augment``: optional ``(flip_axes tuple, noise_sigma)`` — the
+    RandomFlip/RandomNoise tail fused into the step on device
+    (`vnet_tpu/data/device_aug.py`) instead of running per-sample on host.
+    """
 
     def step_fn(state: TrainState, images, labels, rng, distance_maps=None):
         dropout_rng = jax.random.fold_in(rng, state.step)
+        if device_augment is not None:
+            from ..data.device_aug import random_flip, random_noise
+            flip_axes, noise_sigma = device_augment
+            aug_rng = jax.random.fold_in(dropout_rng, 7)
+            if flip_axes:
+                kf, aug_rng = jax.random.split(aug_rng)
+                images, labels = random_flip(kf, images, labels, flip_axes)
+            if noise_sigma > 0.0:
+                images = random_noise(aug_rng, images, noise_sigma)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -164,6 +179,7 @@ class Trainer:
         self._train_step_fn = None
         self._eval_step_fn = None
         self._writers = {}
+        self._device_aug = None  # (flip_axes, noise_sigma) when enabled
 
     # ------------------------------------------------------------------
     # state
@@ -191,7 +207,8 @@ class Trainer:
         if self._train_step_fn is not None:
             return
         raw = make_train_step(self.network, self.tx, self.t.loss,
-                              self.t.num_classes, self.is_attention)
+                              self.t.num_classes, self.is_attention,
+                              device_augment=self._device_aug)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         if self.is_attention:
@@ -284,6 +301,9 @@ class Trainer:
     def build_loader(self, data_dir: str, phase: str) -> BatchLoader:
         pipeline_cfg = load_pipeline(self.t.pipeline_path)
         transforms = build_pipeline(pipeline_cfg, phase, self.t.dimension)
+        if (self.t.device_augment and phase == "train"
+                and self.t.dimension == 3):
+            transforms = self._extract_device_augment(transforms)
         if self.t.dimension == 2:
             ds = NiftiDataset2D(
                 data_dir, self.t.image_filenames, self.t.label_filename,
@@ -299,6 +319,28 @@ class Trainer:
         return BatchLoader(ds, self.t.batch_size, shuffle=True,
                            drop_remainder=True, num_workers=2,
                            seed=self.t.seed)
+
+    def _extract_device_augment(self, transforms):
+        """Pull RandomFlip/RandomNoise out of the host chain; their
+        parameters move into the jitted step (config ``DeviceAugment``).
+        Must be called before the step functions compile."""
+        from ..data.transforms3d import RandomFlip, RandomNoise
+        kept = []
+        flip_axes = ()
+        noise_sigma = 0.0
+        for tfm in transforms:
+            if isinstance(tfm, RandomFlip):
+                flip_axes = tuple(i for i, f in enumerate(tfm.axes) if f)
+            elif isinstance(tfm, RandomNoise):
+                noise_sigma = float(tfm.sigma)
+            else:
+                kept.append(tfm)
+        if flip_axes or noise_sigma > 0.0:
+            if self._train_step_fn is not None:
+                raise RuntimeError(
+                    "device augment params resolved after step compile")
+            self._device_aug = (flip_axes, noise_sigma)
+        return kept
 
     # ------------------------------------------------------------------
     # logging
@@ -374,6 +416,8 @@ class Trainer:
         test_iter = iter(()) if test_loader is None else iter(test_loader.epoch())
 
         rng = jax.random.key(t.seed + 1, impl=t.rng_impl)
+        from ..profiler import StepTimer
+        timer = StepTimer(warmup=2)
         limit = t.max_iterations if max_steps is None else max_steps
 
         start_epoch = int(state.epoch)
@@ -408,13 +452,20 @@ class Trainer:
                             count += 1
                         pending = (step, out)
                 else:
-                    state, out = self.train_step(state, images, labels, rng,
-                                                 distance_maps=dmaps)
+                    with timer:
+                        state, out = self.train_step(
+                            state, images, labels, rng, distance_maps=dmaps)
                     step += 1
                     if pending is not None:
                         epoch_loss += self._log_scalars("train", *pending)
                         count += 1
                     pending = (step, out)
+                    w = self._writer("train")
+                    if w is not None and timer.times:
+                        w.add_scalar("perf/step_time_s", timer.times[-1], step)
+                        w.add_scalar(
+                            "perf/patches_per_s",
+                            t.batch_size / timer.times[-1], step)
 
                 if step % t.log_interval == 0:
                     mgr.save(state)
