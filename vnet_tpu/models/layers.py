@@ -279,12 +279,16 @@ class SpatialConv(nn.Module):
     # (offset-major channels); the kernel parameter keeps its original
     # (k..., Cin, Cout) shape — packing happens at apply time.
     packed: bool = False
+    # packed_down=True: stride-2 2^r conv whose input is ALREADY packed —
+    # one matmul, output unpacked on the half-resolution grid.
+    packed_down: bool = False
 
     @nn.compact
     def __call__(self, x):
         rank = x.ndim - 2
         k = tuple(self.kernel_size)
-        in_features = (x.shape[-1] // (2 ** rank) if self.packed
+        in_features = (x.shape[-1] // (2 ** rank)
+                       if (self.packed or self.packed_down)
                        else x.shape[-1])
         kernel = self.param("kernel", conv_kernel_init,
                             k + (in_features, self.features),
@@ -296,9 +300,27 @@ class SpatialConv(nn.Module):
         x = x.astype(compute_dtype)
         kernel_c = kernel.astype(compute_dtype)
 
+        if self.packed_down:
+            assert k == (2,) * rank and tuple(self.strides) == (2,) * rank
+            from ..ops.s2d import packed_down_conv
+            y = packed_down_conv(x, kernel_c)
+            if bias is not None:
+                y = y + bias.astype(compute_dtype)
+            return y
+
         if self.packed:
-            from ..ops.s2d import packed_conv
-            y = packed_conv(x, kernel_c)
+            if k == (1,) * rank:
+                # pointwise conv in the packed domain: shared weights per
+                # offset group — a grouped einsum, no repacking needed
+                groups = 2 ** rank
+                xg = x.reshape(x.shape[:-1] + (groups, in_features))
+                y = jnp.einsum("...gc,co->...go", xg,
+                               kernel_c.reshape(in_features, self.features))
+                y = y.astype(compute_dtype).reshape(
+                    x.shape[:-1] + (groups * self.features,))
+            else:
+                from ..ops.s2d import packed_conv
+                y = packed_conv(x, kernel_c)
             if bias is not None:
                 y = y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
             return y
@@ -430,15 +452,26 @@ class DownConv(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     impl: str = "direct"
+    # packed_input=True: x is already in the s2d domain — the stride-2
+    # conv is then a single matmul over packed channels (no repacking)
+    packed_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
-        ch = x.shape[-1]
-        x = conv(ch * self.factor, self.factor, rank,
-                 strides=(self.factor,) * rank, dtype=self.dtype,
-                 param_dtype=self.param_dtype, name="conv",
-                 impl=self.impl)(x)
+        if self.packed_input:
+            assert self.factor == 2
+            ch = x.shape[-1] // (2 ** rank)
+            x = SpatialConv(ch * self.factor, (2,) * rank,
+                            strides=(2,) * rank, packed_down=True,
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="conv")(x)
+        else:
+            ch = x.shape[-1]
+            x = conv(ch * self.factor, self.factor, rank,
+                     strides=(self.factor,) * rank, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="conv",
+                     impl=self.impl)(x)
         x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
         x = Activation(self.activation, self.param_dtype, name="act")(x)
         return x

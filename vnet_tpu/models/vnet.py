@@ -49,25 +49,24 @@ class ConvBlock(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
-
-    def _packed_ok(self, x, ch):
-        rank = x.ndim - 2
-        return (self.conv_impl == "packed"
-                and self.norm in ("batch", "batch_stats")
-                and self.kernel_size % 2 == 1
-                and all(s % 2 == 0 for s in x.shape[1:-1])
-                and (2 ** rank) * ch <= 1024)
+    # packed-mode plumbing (decided by the caller, see VNet._level_packed):
+    # when packed_mode, the block runs in the s2d domain; pack_input=False
+    # means x arrives already packed; unpack_output=False returns packed.
+    packed_mode: bool = False
+    pack_input: bool = True
+    unpack_output: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
-        ch = x.shape[-1]
-        if self._packed_ok(x, ch):
-            # whole block runs in the space-to-depth domain: one pack at
-            # entry, one unpack at exit, instead of two transposes per conv
+        if self.packed_mode:
+            # the whole block runs in the space-to-depth domain — at most
+            # one pack/unpack pair at the edges instead of two per conv
             from ..ops.s2d import depth_to_space, space_to_depth
             groups = 2 ** rank
-            x = space_to_depth(x)
+            if self.pack_input:
+                x = space_to_depth(x)
+            ch = x.shape[-1] // groups
             block_input = x
             for i in range(self.num_convolutions):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
@@ -81,8 +80,9 @@ class ConvBlock(nn.Module):
                                name=f"act_{i + 1}")(x)
                 x = nn.Dropout(rate=self.dropout_rate,
                                deterministic=not train)(x)
-            return depth_to_space(x)
+            return depth_to_space(x) if self.unpack_output else x
 
+        ch = x.shape[-1]
         impl = "auto" if self.conv_impl == "packed" else self.conv_impl
         block_input = x
         for i in range(self.num_convolutions):
@@ -112,27 +112,27 @@ class DecoderConvBlock(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
-
-    def _packed_ok(self, x, ch):
-        rank = x.ndim - 2
-        return (self.conv_impl == "packed"
-                and self.norm in ("batch", "batch_stats")
-                and self.kernel_size % 2 == 1
-                and all(s % 2 == 0 for s in x.shape[1:-1])
-                and (2 ** rank) * 2 * ch <= 2048)
+    packed_mode: bool = False
+    skip_packed: bool = False  # the stored encoder skip is already packed
+    unpack_output: bool = True
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         rank = x.ndim - 2
         ch = x.shape[-1]
-        if self._packed_ok(x, ch):
+        if self.packed_mode:
             from ..ops.s2d import depth_to_space, space_to_depth
             groups = 2 ** rank
-            xp = space_to_depth(jnp.concatenate([x, skip], axis=-1))
-            # packed residual = the up-conv half of every offset group
-            # (offset-major layout: channels [e*2c + c'], c' < ch)
-            res = xp.reshape(xp.shape[:-1] + (groups, 2 * ch))[..., :ch]
-            residual = res.reshape(xp.shape[:-1] + (groups * ch,))
+            # pack x (the up-conv output) and splice with the skip in the
+            # packed domain: concatenating per offset group reproduces
+            # pack(concat(x, skip)) exactly with no extra transpose
+            xp_x = space_to_depth(x)
+            skip_p = skip if self.skip_packed else space_to_depth(skip)
+            xg = xp_x.reshape(xp_x.shape[:-1] + (groups, ch))
+            sg = skip_p.reshape(skip_p.shape[:-1] + (groups, ch))
+            xp = jnp.concatenate([xg, sg], axis=-1).reshape(
+                xp_x.shape[:-1] + (groups * 2 * ch,))
+            residual = xp_x
             x = xp
             for i in range(self.num_convolutions):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
@@ -146,9 +146,12 @@ class DecoderConvBlock(nn.Module):
                                name=f"act_{i + 1}")(x)
                 x = nn.Dropout(rate=self.dropout_rate,
                                deterministic=not train)(x)
-            return depth_to_space(x)
+            return depth_to_space(x) if self.unpack_output else x
 
         impl = "auto" if self.conv_impl == "packed" else self.conv_impl
+        if self.skip_packed:
+            from ..ops.s2d import depth_to_space
+            skip = depth_to_space(skip)
         residual = x  # up-convolved features, n channels
         x = jnp.concatenate([x, skip], axis=-1)
         for i in range(self.num_convolutions):
@@ -224,39 +227,69 @@ class VNet(nn.Module):
             x = Activation(self.activation, self.param_dtype,
                            name="input_act")(x)
 
+        # per-level packed-mode eligibility (conv blocks + their plumbing run
+        # in the s2d domain: skips stay packed, down-convs consume packed)
+        def level_packed(spatial, ch, decoder=False):
+            groups = 2 ** rank
+            cap = 2048 if decoder else 1024
+            return (block_impl == "packed"
+                    and self.norm in ("batch", "batch_stats")
+                    and all(s % 2 == 0 for s in spatial)
+                    and groups * (2 * ch if decoder else ch) <= cap)
+
         # encoder (networks.py:270-280)
-        skips = []
+        skips = []          # (tensor, is_packed)
         for level in range(self.num_levels):
+            spatial, ch = x.shape[1:-1], x.shape[-1]
+            enc_p = level_packed(spatial, ch)
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
                           self.param_dtype, block_impl,
+                          packed_mode=enc_p, pack_input=True,
+                          unpack_output=not enc_p,
                           name=f"encoder_level_{level + 1}")(x, train)
-            skips.append(x)
+            skips.append((x, enc_p))
             x = DownConv(2, self.norm, self.activation, self.dtype,
-                         self.param_dtype, impl,
+                         self.param_dtype, impl, packed_input=enc_p,
                          name=f"down_{level + 1}")(x, train)
 
         # bottom (networks.py:282-283)
+        bot_p = level_packed(x.shape[1:-1], x.shape[-1])
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
-                      self.param_dtype, block_impl, name="bottom")(x, train)
+                      self.param_dtype, block_impl, packed_mode=bot_p,
+                      name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
+        out_packed = False
         for level in reversed(range(self.num_levels)):
             x = UpConv(2, self.norm, self.activation, self.dtype,
                        self.param_dtype, impl,
                        name=f"up_{level + 1}")(x, train)
+            skip, skip_p = skips[level]
+            dec_p = level_packed(x.shape[1:-1], x.shape[-1], decoder=True)
+            keep_packed = dec_p and level == 0  # feed the output conv packed
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
                                  self.dtype, self.param_dtype, block_impl,
+                                 packed_mode=dec_p, skip_packed=skip_p,
+                                 unpack_output=not keep_packed,
                                  name=f"decoder_level_{level + 1}")(
-                                     x, skips[level], train)
+                                     x, skip, train)
+            if level == 0:
+                out_packed = keep_packed
 
         # output layer (networks.py:298-303): 1^r conv (+ post-logit norm,
-        # reproduced behind a flag since it is unusual but affects parity)
+        # reproduced behind a flag since it is unusual but affects parity);
+        # the pointwise conv and norm run packed when the decoder ends packed
         logits = conv(self.num_classes, 1, rank, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="output_conv")(x)
+                      param_dtype=self.param_dtype, name="output_conv",
+                      packed=out_packed)(x)
         if self.output_norm:
             logits = Norm(self.norm, self.dtype, self.param_dtype,
+                          (2 ** rank) if out_packed else 1,
                           name="output_norm")(logits, train)
+        if out_packed:
+            from ..ops.s2d import depth_to_space
+            logits = depth_to_space(logits)
         return logits.astype(jnp.float32)
