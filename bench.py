@@ -86,16 +86,20 @@ def main():
     carry, loss = run_block(carry, jax.random.split(key, scan_k))
     float(loss)  # compile + full sync
 
-    n_blocks = 3
-    t0 = time.perf_counter()
-    for i in range(n_blocks):
+    # median over blocks: the tunnel adds occasional multi-second stalls
+    # that would corrupt a single aggregate timing
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
         carry, loss = run_block(
             carry, jax.random.split(jax.random.fold_in(key, i), scan_k))
-    float(loss)
-    dt = time.perf_counter() - t0
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
     n_chips = max(len(jax.devices()), 1)
-    patches_per_sec_per_chip = (batch * scan_k * n_blocks) / dt / n_chips
+    patches_per_sec_per_chip = (batch * scan_k) / dt / n_chips
 
     print(json.dumps({
         "metric": "train_patches_per_sec_per_chip_64cube_vnet",
