@@ -2,6 +2,7 @@
 (legacy reference train.py:281-310, 383-417)."""
 
 import json
+import os
 
 import jax
 import numpy as np
@@ -65,3 +66,41 @@ def test_attention_full_loop(tmp_path, rng):
     cfg = load_config(cpath)
     state = Trainer(cfg, log=False).train()
     assert int(state.step) == 1
+
+
+def test_attention_evaluator(tmp_path, rng):
+    """Evaluation path with the attention-gated network (tuple output)."""
+    from fixtures import make_dataset_dir
+    from vnet_tpu.infer import Evaluator
+    from vnet_tpu.io import read_image
+
+    cpath = write_config(tmp_path, rng, max_iterations=1)
+    with open(cpath) as f:
+        tree = json.load(f)
+    tree["TrainingSetting"]["Networks"]["Attention"] = True
+    tree["TrainingSetting"]["Networks"]["NumChannel"] = 4
+    with open(cpath, "w") as f:
+        json.dump(tree, f)
+    cfg = load_config(cpath)
+    make_dataset_dir(str(tmp_path), "evaluate", num_cases=1, rng=rng)
+
+    trainer = Trainer(cfg, log=False)
+    state = trainer.train()
+    ev = Evaluator(cfg, state=state)
+    assert ev.is_attention
+    results = ev.evaluate()
+    assert len(results) == 1
+    out = read_image(results[0])
+    assert set(np.unique(out.data)) <= {0, 1}
+
+
+def test_image_log_smoke(tmp_path, rng):
+    """ImageLog=True writes TB image events without breaking the loop."""
+    import glob
+    cpath = write_config(tmp_path, rng, max_iterations=2, ImageLog=True,
+                         LogInterval=1)
+    cfg = load_config(cpath)
+    state = Trainer(cfg, log=True).train()
+    assert int(state.step) == 2
+    events = glob.glob(os.path.join(cfg.train.log_dir, "train", "events*"))
+    assert events
