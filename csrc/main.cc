@@ -8,6 +8,9 @@
 
 #include <chrono>
 #include <cstring>
+#include <unistd.h>
+#include <cstdlib>
+#include <vector>
 #include <iostream>
 #include <string>
 
@@ -34,10 +37,18 @@ vnet::Executor MakeThresholdExecutor(float threshold) {
 
 }  // namespace
 
+#ifdef VNET_HAVE_PJRT
+#include <fstream>
+#include <sstream>
+
+#include "pjrt_executor.h"
+#endif
+
 int main(int argc, char** argv) {
   if (argc < 3) {
     std::cerr << "usage: vnet_infer <input.nii[.gz]> <output.nii[.gz]> "
-                 "[threshold=128] [patch=64] [stride=32] [threads=4]\n";
+                 "[threshold=128] [patch=64] [stride=32] [threads=4] "
+                 "[pjrt_plugin.so model.stablehlo num_classes]\n";
     return 2;
   }
   const std::string input_path = argv[1];
@@ -55,9 +66,50 @@ int main(int argc, char** argv) {
   }
   if (argc > 6) opts.num_threads = std::stoi(argv[6]);
 
+  vnet::Executor executor = MakeThresholdExecutor(threshold);
+#ifdef VNET_HAVE_PJRT
+  std::unique_ptr<vnet::PjrtExecutor> pjrt;
+  if (argc > 8) {
+    std::ifstream f(argv[8], std::ios::binary);
+    if (!f) {
+      std::cerr << "cannot open model " << argv[8] << "\n";
+      return 2;
+    }
+    std::ostringstream ss;
+    ss << f.rdbuf();
+    std::vector<vnet::PjrtExecutor::Option> options;
+    const std::string plugin = argv[7];
+    if (plugin.find("axon") != std::string::npos) {
+      // the axon relay plugin needs its pool/session create options
+      // (mirrors /root/.axon_site/axon/register/pjrt.py:161-210)
+      auto i64 = [](std::string n, int64_t v) {
+        vnet::PjrtExecutor::Option o; o.name = std::move(n); o.int_value = v;
+        return o;
+      };
+      auto str = [](std::string n, std::string v) {
+        vnet::PjrtExecutor::Option o; o.name = std::move(n);
+        o.str_value = std::move(v); o.is_string = true;
+        return o;
+      };
+      const char* gen = std::getenv("PALLAS_AXON_TPU_GEN");
+      options = {
+          i64("remote_compile", 1), i64("local_only", 0), i64("priority", 0),
+          str("topology", std::string(gen ? gen : "v5e") + ":1x1x1"),
+          i64("n_slices", 1),
+          str("session_id", "vnet-cpp-" + std::to_string(::getpid())),
+          i64("rank", 0xFFFFFFFFll),
+      };
+    }
+    pjrt = std::make_unique<vnet::PjrtExecutor>(plugin, ss.str(), options);
+    std::cout << "PJRT platform: " << pjrt->platform_name() << "\n";
+    executor = pjrt->AsExecutor();
+    if (argc > 9) opts.num_classes = std::stol(argv[9]);
+  }
+#endif
+
   const auto t0 = std::chrono::steady_clock::now();
   vnet::NiftiImage input = vnet::ReadNifti(input_path);
-  vnet::InferenceClient client(opts, MakeThresholdExecutor(threshold));
+  vnet::InferenceClient client(opts, executor);
   vnet::NiftiImage label = client.Run(input);
   vnet::WriteNifti(label, output_path, /*as_uint8=*/true);
   const auto dt = std::chrono::duration<double>(

@@ -1,0 +1,57 @@
+// PJRT C-API executor — runs an exported StableHLO forward function on any
+// PJRT-backed device (TPU via libtpu / the platform plugin, CPU via a CPU
+// PJRT plugin). This is the production TPU path of the native inference
+// client (csrc/inference_client.h): the reference's equivalent was the TF
+// C++ Session over a frozen graph.pb (tf_inference.cpp:96-143); here the
+// artifact is the StableHLO bytecode written by scripts/export_model.py.
+#pragma once
+
+#include <array>
+#include <cstdint>
+#include <memory>
+#include <string>
+#include <vector>
+
+#include "inference_client.h"
+
+namespace vnet {
+
+class PjrtExecutor {
+ public:
+  // One client create option: integer or string value.
+  struct Option {
+    std::string name;
+    std::string str_value;
+    int64_t int_value = 0;
+    bool is_string = false;
+  };
+
+  // plugin_path: shared object exporting GetPjrtApi().
+  // program: StableHLO MLIR bytecode (or textual MLIR).
+  // options: plugin-specific PJRT_NamedValue create options.
+  // Throws std::runtime_error on any PJRT failure.
+  PjrtExecutor(const std::string& plugin_path, std::string program,
+               std::vector<Option> options = {});
+  ~PjrtExecutor();
+
+  PjrtExecutor(const PjrtExecutor&) = delete;
+  PjrtExecutor& operator=(const PjrtExecutor&) = delete;
+
+  std::string platform_name() const;
+
+  // Run the compiled function on one f32 input of shape `dims`; returns the
+  // flattened f32 output (the exported softmax probabilities).
+  std::vector<float> Run(const std::vector<float>& input,
+                         const std::vector<int64_t>& dims,
+                         std::vector<int64_t>* out_dims = nullptr);
+
+  // Adapt to the InferenceClient Executor interface: patches
+  // (n, *patch, 1) -> probabilities (n, *patch, num_classes).
+  Executor AsExecutor();
+
+ private:
+  struct Impl;
+  std::unique_ptr<Impl> impl_;
+};
+
+}  // namespace vnet

@@ -45,6 +45,28 @@ def export_forward(network, variables, input_shape: Tuple[int, ...],
     return blob
 
 
+def export_stablehlo_bytecode(network, variables, input_shape: Tuple[int, ...],
+                              path: Optional[str] = None,
+                              is_attention: bool = False) -> bytes:
+    """Raw StableHLO module bytecode (weights baked as constants) — the
+    artifact the native PJRT executor compiles (csrc/pjrt_executor.cc).
+    Unlike :func:`export_forward`'s jax.export container, this is plain
+    MLIR bytecode consumable by ``PJRT_Client_Compile`` (format "mlir")."""
+
+    def forward(x):
+        out = network.apply(variables, x, train=False)
+        logits = out[0] if is_attention else out
+        return jax.nn.softmax(logits, axis=-1)
+
+    exported = jax.export.export(jax.jit(forward))(
+        jax.ShapeDtypeStruct(input_shape, jnp.float32))
+    blob = exported.mlir_module_serialized
+    if path:
+        with open(path, "wb") as f:
+            f.write(blob)
+    return blob
+
+
 def load_exported(path_or_bytes):
     """Deserialize an exported forward; returns a callable ``f(x)``."""
     blob = path_or_bytes
