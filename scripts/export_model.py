@@ -24,7 +24,8 @@ def main():
     args = p.parse_args()
 
     from vnet_tpu.config import load_config
-    from vnet_tpu.export import export_forward, stablehlo_text
+    from vnet_tpu.export import (export_forward, export_stablehlo_bytecode,
+                                 stablehlo_text)
     from vnet_tpu.infer import Evaluator
 
     config = load_config(args.config_json)
@@ -32,9 +33,15 @@ def main():
     t = config.train
     input_shape = (args.batch, *t.patch_shape, t.input_channels)
 
-    blob = export_forward(ev.network, ev.variables, input_shape,
-                          path=args.out, is_attention=ev.is_attention)
-    print(f"wrote {len(blob)} bytes to {args.out}")
+    # raw StableHLO bytecode: what the native PJRT client compiles
+    blob = export_stablehlo_bytecode(ev.network, ev.variables, input_shape,
+                                     path=args.out,
+                                     is_attention=ev.is_attention)
+    print(f"wrote {len(blob)} bytes (StableHLO bytecode) to {args.out}")
+    # jax.export container: re-importable in JAX via load_exported()
+    jx = export_forward(ev.network, ev.variables, input_shape,
+                        path=args.out + ".jax", is_attention=ev.is_attention)
+    print(f"wrote {len(jx)} bytes (jax.export) to {args.out}.jax")
     if args.text:
         text = stablehlo_text(ev.network, ev.variables, input_shape,
                               is_attention=ev.is_attention)

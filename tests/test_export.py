@@ -39,3 +39,15 @@ def test_stablehlo_text(small_model):
     text = stablehlo_text(model, variables, (1, 8, 8, 8, 1))
     assert "stablehlo" in text or "mhlo" in text or "func" in text
     assert "convolution" in text
+
+
+def test_stablehlo_bytecode_export(tmp_path, small_model):
+    from vnet_tpu.export import export_stablehlo_bytecode
+    model, variables = small_model
+    path = str(tmp_path / "fwd.stablehlo")
+    blob = export_stablehlo_bytecode(model, variables, (1, 8, 8, 8, 1),
+                                     path=path)
+    assert len(blob) > 500
+    # MLIR bytecode magic
+    assert blob[:4] == b"ML\xefR" or b"stablehlo" in blob[:200]
+    assert (tmp_path / "fwd.stablehlo").stat().st_size == len(blob)
