@@ -64,9 +64,22 @@ class Evaluator:
             out = self.network.apply(variables, patches, train=False)
             return out[0] if self.is_attention else out
 
+        # with >1 device, shard the patch grid over the mesh (each device
+        # blends its sub-grid; one psum assembles the volume — SURVEY §5.7)
+        mesh = None
+        import jax
+        if len(jax.devices()) > 1:
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh()
         self.engine = SlidingWindowInference(
             apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
-            self.t.num_classes, gaussian_blend=self.e.gaussian_blend)
+            self.t.num_classes, gaussian_blend=self.e.gaussian_blend,
+            mesh=mesh)
+        if mesh is not None:
+            # weights may come from a trainer mesh with fewer devices;
+            # re-replicate them onto the evaluation mesh
+            from ..parallel.mesh import replicated
+            self.variables = jax.device_put(self.variables, replicated(mesh))
 
     # ------------------------------------------------------------------
     def _restore_variables(self):
