@@ -8,7 +8,7 @@ reference network configuration (V-Net, 16 channels, 4 levels, convs
 (1,2,3,3), bottom 3, PReLU, batch norm, Adam + weighted sorensen —
 configs/config.json:18-46 of the reference). Runs the optimized production
 path: packed space-to-depth convs, bf16 compute, rbg dropout keys, and an
-8-step lax.scan per dispatch (the Trainer's ScanSteps mode).
+4-step lax.scan per dispatch at batch 32 (the Trainer's ScanSteps mode).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is computed against REFERENCE_TF1_PATCHES_PER_SEC — a documented
@@ -38,8 +38,8 @@ def main():
     from vnet_tpu.ops.losses import segmentation_loss
 
     patch = (64, 64, 64)
-    batch = 16
-    scan_k = 8
+    batch = 32
+    scan_k = 4
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
