@@ -397,6 +397,9 @@ class SpatialConvTranspose(nn.Module):
     impl: str = "direct"
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
+    # packed_output=True: return the result in the space-to-depth domain
+    # (skip the depth_to_space; the consumer's space_to_depth cancels it)
+    packed_output: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -413,6 +416,11 @@ class SpatialConvTranspose(nn.Module):
         kernel_c = kernel.astype(compute_dtype)
 
         can_up = (k == (2,) * rank and tuple(self.strides) == (2,) * rank)
+        if self.packed_output:
+            assert can_up and self.impl in ("s2d", "auto")
+            from ..ops.s2d import s2d_up_conv
+            y = s2d_up_conv(x, kernel_c, keep_packed=True)
+            return y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
         if self.impl in ("s2d", "auto") and can_up:
             from ..ops.s2d import s2d_up_conv
             y = s2d_up_conv(x, kernel_c)
@@ -487,11 +495,27 @@ class UpConv(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     impl: str = "direct"
+    # packed_output: stay in the s2d domain (norm/act offset-aware); the
+    # consuming decoder block skips its own pack — the two transposes cancel
+    packed_output: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         rank = x.ndim - 2
         ch = x.shape[-1]
+        if self.packed_output:
+            assert self.factor == 2
+            groups = 2 ** rank
+            x = SpatialConvTranspose(ch // self.factor, (2,) * rank,
+                                     (2,) * rank, impl="auto",
+                                     dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     packed_output=True, name="deconv")(x)
+            x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                     name="norm")(x, train)
+            x = Activation(self.activation, self.param_dtype, groups,
+                           name="act")(x)
+            return x
         x = deconv(ch // self.factor, self.factor, rank,
                    strides=(self.factor,) * rank, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="deconv",

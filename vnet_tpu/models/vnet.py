@@ -114,19 +114,20 @@ class DecoderConvBlock(nn.Module):
     conv_impl: str = "direct"
     packed_mode: bool = False
     skip_packed: bool = False  # the stored encoder skip is already packed
+    x_packed: bool = False     # the up-conv output arrives already packed
     unpack_output: bool = True
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         rank = x.ndim - 2
-        ch = x.shape[-1]
         if self.packed_mode:
             from ..ops.s2d import depth_to_space, space_to_depth
             groups = 2 ** rank
+            ch = (x.shape[-1] // groups) if self.x_packed else x.shape[-1]
             # pack x (the up-conv output) and splice with the skip in the
             # packed domain: concatenating per offset group reproduces
             # pack(concat(x, skip)) exactly with no extra transpose
-            xp_x = space_to_depth(x)
+            xp_x = x if self.x_packed else space_to_depth(x)
             skip_p = skip if self.skip_packed else space_to_depth(skip)
             xg = xp_x.reshape(xp_x.shape[:-1] + (groups, ch))
             sg = skip_p.reshape(skip_p.shape[:-1] + (groups, ch))
@@ -148,10 +149,14 @@ class DecoderConvBlock(nn.Module):
                                deterministic=not train)(x)
             return depth_to_space(x) if self.unpack_output else x
 
+        ch = x.shape[-1]
         impl = "auto" if self.conv_impl == "packed" else self.conv_impl
-        if self.skip_packed:
+        if self.skip_packed or self.x_packed:
             from ..ops.s2d import depth_to_space
-            skip = depth_to_space(skip)
+            if self.skip_packed:
+                skip = depth_to_space(skip)
+            if self.x_packed:
+                x = depth_to_space(x)
         residual = x  # up-convolved features, n channels
         x = jnp.concatenate([x, skip], axis=-1)
         for i in range(self.num_convolutions):
@@ -263,16 +268,21 @@ class VNet(nn.Module):
         # decoder (networks.py:285-296)
         out_packed = False
         for level in reversed(range(self.num_levels)):
+            # decide packedness on the up-conv OUTPUT geometry (spatial x2,
+            # channels /2) so the transpose conv can emit packed directly
+            up_spatial = tuple(2 * s for s in x.shape[1:-1])
+            up_ch = x.shape[-1] // 2
+            dec_p = level_packed(up_spatial, up_ch, decoder=True)
             x = UpConv(2, self.norm, self.activation, self.dtype,
-                       self.param_dtype, impl,
+                       self.param_dtype, impl, packed_output=dec_p,
                        name=f"up_{level + 1}")(x, train)
             skip, skip_p = skips[level]
-            dec_p = level_packed(x.shape[1:-1], x.shape[-1], decoder=True)
             keep_packed = dec_p and level == 0  # feed the output conv packed
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
                                  self.dtype, self.param_dtype, block_impl,
                                  packed_mode=dec_p, skip_packed=skip_p,
+                                 x_packed=dec_p,
                                  unpack_output=not keep_packed,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skip, train)

@@ -205,7 +205,8 @@ def s2d_down_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     return y.astype(x.dtype)
 
 
-def s2d_up_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def s2d_up_conv(x: jnp.ndarray, kernel: jnp.ndarray,
+                keep_packed: bool = False) -> jnp.ndarray:
     """Stride-2 2^r transpose conv == matmul + depth-to-space.
 
     ``lax.conv_transpose(x, k, strides=2, SAME)`` writes each output voxel
@@ -221,8 +222,13 @@ def s2d_up_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     # (2,..,2, cin, cout) -> (cin, (d, cout))
     K = jnp.moveaxis(kernel.reshape(2 ** rank, cin, cout), 1, 0)
     K = K.reshape(cin, 2 ** rank * cout)
-    y = jnp.einsum("...i,io->...o", x, K)
-    return depth_to_space(y.astype(x.dtype))
+    y = jnp.einsum("...i,io->...o", x, K).astype(x.dtype)
+    if keep_packed:
+        # offset-major packed layout on the pre-upsample grid — exactly
+        # space_to_depth(depth_to_space(y)); consumers in the packed
+        # domain skip both transposes
+        return y
+    return depth_to_space(y)
 
 
 def _dim_numbers(rank: int):
