@@ -33,6 +33,14 @@ Dtype = Any
 
 conv_kernel_init = nn.initializers.glorot_uniform()
 
+
+def _partition():
+    """Active spatial partition (axis_name, spatial_axis) or None — set by
+    `vnet_tpu/parallel/spatial.py` when the layer executes on a local shard
+    inside ``shard_map`` (whole-volume halo-sharded forward)."""
+    from ..parallel.spatial import current_partition
+    return current_partition()
+
 NORM_KINDS = ("batch", "batch_stats", "group", "instance", "none")
 ACTIVATIONS = ("relu", "prelu", "lrelu")
 
@@ -120,7 +128,14 @@ class PackedBatchNorm(nn.Module):
             axes = tuple(range(xg.ndim - 1))
             xf = xg.astype(jnp.float32)
             mean = jnp.mean(xf, axis=axes)
-            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            msq = jnp.mean(jnp.square(xf), axis=axes)
+            part = _partition()
+            if part is not None:
+                # equal-sized spatial shards: pmean of the moments equals
+                # the unsharded statistics exactly
+                mean = jax.lax.pmean(mean, part[0])
+                msq = jax.lax.pmean(msq, part[0])
+            var = msq - jnp.square(mean)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value
                                  + (1 - self.momentum) * mean)
@@ -161,7 +176,12 @@ class _TiledBNCore(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             mu = jnp.mean(xf)
-            var_s = jnp.mean(jnp.square(xf)) - jnp.square(mu)
+            msq = jnp.mean(jnp.square(xf))
+            part = _partition()
+            if part is not None:
+                mu = jax.lax.pmean(mu, part[0])
+                msq = jax.lax.pmean(msq, part[0])
+            var_s = msq - jnp.square(mu)
             mean = jnp.full((c,), mu.astype(jnp.float32))
             var = jnp.full((c,), var_s.astype(jnp.float32))
             if not self.is_initializing():
@@ -223,28 +243,37 @@ class Norm(nn.Module):
                 groups=self.packed_groups,
                 use_running_average=(self.kind == "batch" and not train),
                 dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+        part = _partition()
+        part_axis = part[0] if part is not None else None
         if self.kind == "batch":
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                axis_name=part_axis if train else None, name="bn")(x)
         if self.kind == "batch_stats":
             # reference quirk: batch statistics in every phase (model.py:917)
             return nn.BatchNorm(
                 use_running_average=False, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, param_dtype=self.param_dtype, name="bn")(x)
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                axis_name=part_axis, name="bn")(x)
         if self.kind == "group":
             groups = min(8, x.shape[-1])
             while x.shape[-1] % groups:
                 groups -= 1
             return nn.GroupNorm(num_groups=groups, epsilon=1e-3,
                                 dtype=self.dtype, param_dtype=self.param_dtype,
-                                name="gn")(x)
+                                axis_name=part_axis, name="gn")(x)
         if self.kind == "instance":
             # normalize over spatial dims only
             reduction = tuple(range(1, x.ndim - 1))
-            mean = jnp.mean(x, axis=reduction, keepdims=True)
-            var = jnp.var(x, axis=reduction, keepdims=True)
-            y = (x - mean) * jax.lax.rsqrt(var + 1e-3)
+            xf32 = x.astype(jnp.float32)
+            mean = jnp.mean(xf32, axis=reduction, keepdims=True)
+            msq = jnp.mean(jnp.square(xf32), axis=reduction, keepdims=True)
+            if part_axis is not None:
+                mean = jax.lax.pmean(mean, part_axis)
+                msq = jax.lax.pmean(msq, part_axis)
+            var = msq - jnp.square(mean)
+            y = ((xf32 - mean) * jax.lax.rsqrt(var + 1e-3)).astype(x.dtype)
             scale = self.param("scale", nn.initializers.ones,
                                (x.shape[-1],), self.param_dtype).astype(x.dtype)
             bias = self.param("bias", nn.initializers.zeros,
@@ -320,7 +349,7 @@ class SpatialConv(nn.Module):
                     x.shape[:-1] + (groups * self.features,))
             else:
                 from ..ops.s2d import packed_conv
-                y = packed_conv(x, kernel_c)
+                y = packed_conv(x, kernel_c, halo=_partition())
             if bias is not None:
                 y = y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
             return y
@@ -349,7 +378,7 @@ class SpatialConv(nn.Module):
             y = s2d_down_conv(x, kernel_c)
         elif use_s2d:
             from ..ops.s2d import s2d_conv
-            y = s2d_conv(x, kernel_c)
+            y = s2d_conv(x, kernel_c, halo=_partition())
         else:
             dims = (("NHWC", "HWIO", "NHWC") if rank == 2
                     else ("NDHWC", "DHWIO", "NDHWC"))
@@ -357,8 +386,34 @@ class SpatialConv(nn.Module):
             # then mix bf16 operands with f32 cotangents, which
             # lax.conv_general_dilated rejects. The MXU accumulates bf16
             # inputs in f32 internally regardless.
-            y = jax.lax.conv_general_dilated(
-                x, kernel_c, strides, "SAME", dimension_numbers=dims)
+            part = _partition()
+            if part is not None and any(kk > 1 for kk in k):
+                # local shard of a spatially-partitioned volume: exchange
+                # conv halos along the sharded axis, convolve VALID there
+                axis_name, sp = part
+                if strides != (1,) * rank:
+                    # stride-2 2^r convs on even shards touch each voxel
+                    # once — purely local, no halo needed
+                    if not (k[sp] <= strides[sp]
+                            and x.shape[1 + sp] % strides[sp] == 0):
+                        raise NotImplementedError(
+                            f"spatial partition: strided conv k={k} "
+                            f"s={strides} needs halos")
+                    y = jax.lax.conv_general_dilated(
+                        x, kernel_c, strides, "SAME",
+                        dimension_numbers=dims)
+                else:
+                    from ..parallel.spatial import halo_exchange_asym
+                    lo, hi = (k[sp] - 1) // 2, k[sp] // 2
+                    xh = halo_exchange_asym(x, lo, hi, axis_name, 1 + sp)
+                    pads = [((kk - 1) // 2, kk // 2) for kk in k]
+                    pads[sp] = (0, 0)
+                    y = jax.lax.conv_general_dilated(
+                        xh, kernel_c, strides, pads,
+                        dimension_numbers=dims)
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x, kernel_c, strides, "SAME", dimension_numbers=dims)
         if bias is not None:
             y = y + bias.astype(compute_dtype)
         return y

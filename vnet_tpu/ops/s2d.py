@@ -152,10 +152,15 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
 
 
 def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
-                preferred_element_type=None) -> jnp.ndarray:
+                preferred_element_type=None, halo=None) -> jnp.ndarray:
     """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
     without the transposes. ``xp`` is ``(B, *spatial/2, 2^r * Cin)``
     offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
+
+    ``halo=(axis_name, spatial_axis)``: the packed tensor is a local shard
+    along ``spatial_axis`` inside ``shard_map`` — exchange neighbor slabs
+    in the packed domain and convolve VALID there (see
+    `vnet_tpu/parallel/spatial.py`).
     """
     rank = kernel.ndim - 2
     k = kernel.shape[0]
@@ -167,8 +172,14 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                 for u in range(-h, h + 1))
     a_max = a_min + kp - 1
     pad = (-a_min, a_max)
+    pads = [pad] * rank
+    if halo is not None:
+        from ..parallel.spatial import halo_exchange_asym
+        axis_name, sp_axis = halo
+        xp = halo_exchange_asym(xp, pad[0], pad[1], axis_name, 1 + sp_axis)
+        pads[sp_axis] = (0, 0)
     return jax.lax.conv_general_dilated(
-        xp, packed, (1,) * rank, [pad] * rank,
+        xp, packed, (1,) * rank, pads,
         dimension_numbers=_dim_numbers(rank),
         preferred_element_type=preferred_element_type).astype(xp.dtype)
 
@@ -240,32 +251,17 @@ def _dim_numbers(rank: int):
 
 
 def s2d_conv(x: jnp.ndarray, kernel: jnp.ndarray,
-             preferred_element_type=None) -> jnp.ndarray:
+             preferred_element_type=None, halo=None) -> jnp.ndarray:
     """SAME stride-1 conv computed in the space-to-depth domain.
 
     Exactly equals ``lax.conv_general_dilated(x, kernel, 1, "SAME")`` for
-    odd kernels on even-sized inputs.
+    odd kernels on even-sized inputs. ``halo``: see :func:`packed_conv`.
     """
     rank = kernel.ndim - 2
     k = kernel.shape[0]
     assert k % 2 == 1, "odd kernels only"
-    kp, _ = _packing_plan(k, rank)
-    packed = pack_kernel(kernel)
     xp = space_to_depth(x)
-    # packed taps span a in [a_min, a_max] with a_min = -(h+1)//2... use
-    # explicit padding: original SAME pads h=k//2 voxels; on the packed grid
-    # that is ceil(h/2) packed voxels on the low side reachable via a_min.
-    h = k // 2
-    # padding per axis on packed grid: low = -a_min, high = a_max - ... we
-    # recover from plan entries directly:
-    _, entries = _packing_plan(k, rank)
-    # entries' packed taps are shifted to [0, kp-1]; lost a_min:
-    a_min = min(divmod(d + u, 2)[0] for d in (0, 1)
-                for u in range(-h, h + 1))
-    a_max = a_min + kp - 1
-    pad = (-a_min, a_max)
-    yp = jax.lax.conv_general_dilated(
-        xp, packed, (1,) * rank, [pad] * rank,
-        dimension_numbers=_dim_numbers(rank),
-        preferred_element_type=preferred_element_type)
+    yp = packed_conv(xp, kernel,
+                     preferred_element_type=preferred_element_type,
+                     halo=halo)
     return depth_to_space(yp.astype(x.dtype))
