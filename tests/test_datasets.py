@@ -180,3 +180,45 @@ def test_loader_raises_without_skip():
                          num_workers=0, skip_errors=False)
     with pytest.raises(RuntimeError, match="corrupt"):
         list(loader.epoch())
+
+
+class StochasticDataset:
+    """Samples mix the index with the shared transform RNG — exposes
+    whether per-sample seeding makes process workers deterministic."""
+
+    def __len__(self):
+        return 4
+
+    def get_sample(self, i):
+        from vnet_tpu.data.rand import get_rng
+        noise = get_rng().normal(size=(4, 4, 4, 1)).astype(np.float32)
+        return noise + i, np.full((4, 4, 4), i, np.int32)
+
+
+def test_loader_process_backend_matches_order():
+    a = list(BatchLoader(FlakyDataset(), 1, shuffle=False, num_workers=2,
+                         backend="process", skip_errors=True).epoch())
+    assert len(a) == 3
+    np.testing.assert_allclose([b[0][0, 0, 0, 0, 0] for b in a],
+                               [0.0, 2.0, 4.0])
+
+
+def test_loader_process_backend_deterministic_seeding():
+    mk = lambda w: list(BatchLoader(StochasticDataset(), 2, shuffle=False,
+                                    num_workers=w, backend="process",
+                                    seed=7).epoch())
+    a, b = mk(1), mk(3)  # same seed, different worker counts
+    np.testing.assert_allclose(a[0][0], b[0][0])
+    np.testing.assert_array_equal(a[0][1], b[0][1])
+
+
+def test_loader_process_backend_raises_without_skip():
+    loader = BatchLoader(FlakyDataset(), 1, shuffle=False, num_workers=2,
+                         backend="process", skip_errors=False)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        list(loader.epoch())
+
+
+def test_loader_bad_backend():
+    with pytest.raises(ValueError, match="backend"):
+        BatchLoader(FlakyDataset(), 1, backend="greenlet")

@@ -113,6 +113,11 @@ class TrainingConfig:
     # move RandomFlip/RandomNoise from the host transform chain into the
     # jitted train step (fused on-device augmentation)
     device_augment: bool = False
+    # data-loader parallelism: worker count and backend ("thread" for
+    # GIL-releasing numpy/scipy parsers, "process" for Python-bound
+    # transform chains at production scale)
+    loader_workers: int = 2
+    loader_backend: str = "thread"
 
     @property
     def dimension(self) -> int:
@@ -222,6 +227,8 @@ def parse_config(tree: dict) -> Config:
         scan_steps=int(ts.get("ScanSteps", 1)),
         rng_impl=ts.get("RngImpl", "rbg"),
         device_augment=bool(ts.get("DeviceAugment", False)),
+        loader_workers=int(ts.get("LoaderWorkers", 2)),
+        loader_backend=ts.get("LoaderBackend", "thread"),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
         seed=int(ts.get("Seed", 0)),

@@ -317,7 +317,9 @@ class Trainer:
                 labels=self.t.segmentation_classes,
                 attention=self.is_attention)
         return BatchLoader(ds, self.t.batch_size, shuffle=True,
-                           drop_remainder=True, num_workers=2,
+                           drop_remainder=True,
+                           num_workers=self.t.loader_workers,
+                           backend=self.t.loader_backend,
                            seed=self.t.seed)
 
     def _extract_device_augment(self, transforms):
