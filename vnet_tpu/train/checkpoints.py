@@ -16,8 +16,14 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 5):
+    def __init__(self, directory: str, max_to_keep: int = 5,
+                 async_save: bool = True):
+        """``async_save=True`` (default): ``save`` returns as soon as the
+        state is snapshotted; serialization to disk overlaps subsequent
+        training steps (orbax AsyncCheckpointer). Call
+        ``wait_until_finished()``/``close()`` before reading the files."""
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -28,6 +34,10 @@ class CheckpointManager:
     def save(self, state: Any, step: Optional[int] = None) -> None:
         step = int(state.step) if step is None else int(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+        if not self.async_save:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
@@ -36,6 +46,7 @@ class CheckpointManager:
     def restore_latest(self, template: Any) -> Optional[Any]:
         """Restore the newest checkpoint into the structure of ``template``;
         None if the directory has no checkpoints."""
+        self._mgr.wait_until_finished()  # settle any in-flight async save
         step = self._mgr.latest_step()
         if step is None:
             return None
@@ -44,6 +55,7 @@ class CheckpointManager:
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
     def restore(self, step: int, template: Any) -> Any:
+        self._mgr.wait_until_finished()
         target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
                                         template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))

@@ -412,6 +412,13 @@ class Trainer:
                 print(f"Restored checkpoint at step {int(state.step)}, "
                       f"epoch {int(state.epoch)}")
 
+        try:
+            return self._train_loop(state, mgr, max_steps)
+        finally:
+            mgr.wait_until_finished()  # drain async checkpoint writes
+
+    def _train_loop(self, state: TrainState, mgr, max_steps):
+        t = self.t
         train_loader = self.build_loader(t.data_dir, "train")
         test_loader = (self.build_loader(t.test_data_dir, "test")
                        if t.testing and t.test_data_dir else None)
