@@ -226,3 +226,41 @@ def test_device_augment(tmp_path, rng):
     assert trainer._device_aug == ((0,), 3.0)
     state = trainer.train()
     assert int(state.step) == 2
+
+
+def test_test_phase_scalars_and_images(tmp_path, rng):
+    # inline test every TestStep with ImageLog writes scalars AND images to
+    # the second ("test") writer (model.py:767-794); BatchSize 1 because the
+    # fixture test split has one case
+    cfg = load_config(write_config(tmp_path, rng, testing=True,
+                                   batch_size=1, max_iterations=2,
+                                   ImageLog=True))
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars, self.images = [], []
+
+        def add_scalar(self, *a, **k):
+            self.scalars.append(a)
+
+        def add_image(self, *a, **k):
+            self.images.append(a)
+
+    writers = {}
+    trainer = Trainer(cfg, log=True)
+    trainer._writer = lambda tag: writers.setdefault(tag, FakeWriter())
+    trainer.train()
+    assert writers["train"].scalars
+    assert writers["test"].scalars, "inline test step never ran"
+    assert writers["test"].images, "test-phase ImageLog wrote no images"
+
+
+def test_empty_test_loader_disables_inline_testing(tmp_path, rng, capsys):
+    # 1 test case with BatchSize 2 + drop_remainder -> zero test batches;
+    # training must continue instead of crashing with StopIteration
+    cfg = load_config(write_config(tmp_path, rng, testing=True,
+                                   max_iterations=2))
+    trainer = Trainer(cfg, log=False)
+    state = trainer.train()
+    assert int(state.step) == 2
+    assert "disabling inline testing" in capsys.readouterr().out

@@ -482,13 +482,25 @@ class Trainer:
                         self._log_images("train", step, state, images, labels)
 
                 if test_loader is not None and step % t.test_step == 0:
+                    test_batch = None
                     try:
-                        timages, tlabels, *_ = next(test_iter)
+                        test_batch = next(test_iter)
                     except StopIteration:
                         test_iter = iter(test_loader.epoch())
-                        timages, tlabels, *_ = next(test_iter)
-                    tout = self.eval_step(state, timages, tlabels)
-                    self._log_scalars("test", step, tout)
+                        try:
+                            test_batch = next(test_iter)
+                        except StopIteration:
+                            print("Testing enabled but the test dataset "
+                                  "yields no batches (fewer cases than "
+                                  "BatchSize?); disabling inline testing.")
+                            test_loader = None
+                    if test_batch is not None:
+                        timages, tlabels, *_ = test_batch
+                        tout = self.eval_step(state, timages, tlabels)
+                        self._log_scalars("test", step, tout)
+                        if t.image_log:  # test images (model.py:790-793)
+                            self._log_images("test", step, state, timages,
+                                             tlabels)
 
             if pending is not None:
                 epoch_loss += self._log_scalars("train", *pending)
