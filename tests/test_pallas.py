@@ -59,3 +59,46 @@ def test_blend_accumulate_overlapping_sequential(rng):
     np.testing.assert_allclose(np.asarray(got_w)[4:8, 0], 2.0)
     np.testing.assert_allclose(np.asarray(got_w)[0:4, 0], 1.0)
     np.testing.assert_allclose(np.asarray(got_acc)[4:8], 2.0)
+
+
+def test_bn_stats_kernel_matches_xla():
+    from vnet_tpu.ops.pallas.fused import bn_stats
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 8, 8, 32)).astype(np.float32))
+    s, sq = bn_stats(x, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(
+        jnp.sum(x, axis=(0, 1, 2))), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sq), np.asarray(
+        jnp.sum(x * x, axis=(0, 1, 2))), rtol=1e-5)
+
+
+def test_bn_stats_kernel_bf16_uneven_tile():
+    from vnet_tpu.ops.pallas.fused import bn_stats
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(6, 5, 16)).astype(np.float32)
+                    ).astype(jnp.bfloat16)  # rows=30, forces tile search
+    s, sq = bn_stats(x, interpret=True)
+    xf = x.astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(s),
+                               np.asarray(jnp.sum(xf, axis=(0, 1))),
+                               rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(sq),
+                               np.asarray(jnp.sum(xf * xf, axis=(0, 1))),
+                               rtol=1e-2, atol=1e-2)
+
+
+def test_bn_grad_stats_kernel():
+    from vnet_tpu.ops.pallas.fused import bn_grad_stats
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(4, 8, 32)).astype(np.float32))
+    mean = jnp.mean(x, axis=(0, 1))
+    inv = 1.0 / (jnp.std(x, axis=(0, 1)) + 1e-3)
+    sdy, sdx = bn_grad_stats(dy, x, mean, inv, interpret=True)
+    xhat = (x - mean) * inv
+    np.testing.assert_allclose(np.asarray(sdy),
+                               np.asarray(jnp.sum(dy, axis=(0, 1))),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sdx),
+                               np.asarray(jnp.sum(dy * xhat, axis=(0, 1))),
+                               rtol=1e-4)

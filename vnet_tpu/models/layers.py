@@ -121,6 +121,22 @@ class PackedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (c,))
 
+        part = _partition()
+        if not self.use_running_average and part is None:
+            # hot path: custom-VJP BN whose four large reductions (fwd
+            # mean/E[x^2], bwd sum(dy)/sum(dy*xhat)) run as streaming
+            # Pallas kernels on TPU (ops/pallas/batchnorm.py) — XLA's
+            # convert_reduce fusions for these measured far off roofline
+            from ..ops.pallas.batchnorm import batch_norm_train
+            y, mean, var = batch_norm_train(x, scale, bias, 0.0,
+                                            self.groups, self.epsilon)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * var)
+            return y
+
         xg = x.reshape(x.shape[:-1] + (self.groups, c))
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
@@ -129,7 +145,6 @@ class PackedBatchNorm(nn.Module):
             xf = xg.astype(jnp.float32)
             mean = jnp.mean(xf, axis=axes)
             msq = jnp.mean(jnp.square(xf), axis=axes)
-            part = _partition()
             if part is not None:
                 # equal-sized spatial shards: pmean of the moments equals
                 # the unsharded statistics exactly
@@ -191,10 +206,14 @@ class _TiledBNCore(nn.Module):
                                 + (1 - self.momentum) * var)
 
         inv = jax.lax.rsqrt(var + self.epsilon) * scale.astype(jnp.float32)
-        # broadcast the single channel through per-channel affine: the
-        # C-wide tensor only materializes here, fused into the next conv
-        y = xf * inv + (bias.astype(jnp.float32) - mean * inv)
-        return y.astype(x1.dtype)
+        shift = bias.astype(jnp.float32) - mean * inv
+        # broadcast the single channel through the per-channel affine IN THE
+        # COMPUTE DTYPE: the C-wide tensor materializes exactly once, in
+        # bf16 — an f32 broadcast here costs ~0.5 GB/step of extra HBM
+        # traffic at 64^3 and drags the following conv's backward into f32
+        # (measured 15 ms/step on v5e, BENCHMARKS.md)
+        compute = x1.dtype
+        return x1 * inv.astype(compute) + shift.astype(compute)
 
 
 class TiledInputBatchNorm(nn.Module):
@@ -311,6 +330,9 @@ class SpatialConv(nn.Module):
     # packed_down=True: stride-2 2^r conv whose input is ALREADY packed —
     # one matmul, output unpacked on the half-resolution grid.
     packed_down: bool = False
+    # packed input is a flat channel concat of separately-packed tensors
+    # (decoder skip splice); see ops/s2d.py::pack_kernel
+    packed_input_splits: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
@@ -349,7 +371,8 @@ class SpatialConv(nn.Module):
                     x.shape[:-1] + (groups * self.features,))
             else:
                 from ..ops.s2d import packed_conv
-                y = packed_conv(x, kernel_c, halo=_partition())
+                y = packed_conv(x, kernel_c, halo=_partition(),
+                                input_splits=self.packed_input_splits)
             if bias is not None:
                 y = y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
             return y
@@ -422,7 +445,8 @@ class SpatialConv(nn.Module):
 def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          strides=None, dtype=None, param_dtype=jnp.float32,
          name: Optional[str] = None, use_bias: bool = True,
-         impl: str = "direct", packed: bool = False) -> SpatialConv:
+         impl: str = "direct", packed: bool = False,
+         packed_input_splits=None) -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
@@ -436,6 +460,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
         dtype=dtype,
         param_dtype=param_dtype,
         packed=packed,
+        packed_input_splits=packed_input_splits,
         name=name,
     )
 

@@ -124,21 +124,21 @@ class DecoderConvBlock(nn.Module):
             from ..ops.s2d import depth_to_space, space_to_depth
             groups = 2 ** rank
             ch = (x.shape[-1] // groups) if self.x_packed else x.shape[-1]
-            # pack x (the up-conv output) and splice with the skip in the
-            # packed domain: concatenating per offset group reproduces
-            # pack(concat(x, skip)) exactly with no extra transpose
+            # splice the skip in the packed domain as a FLAT channel concat
+            # (no per-offset re-interleave: that 6-D reshape pattern cost
+            # ~21 ms/step in layout copies at 64^3/batch-32 on v5e); the
+            # first conv's packed kernel rows are permuted to match
+            # (pack_kernel input_splits), later convs see standard layout
             xp_x = x if self.x_packed else space_to_depth(x)
             skip_p = skip if self.skip_packed else space_to_depth(skip)
-            xg = xp_x.reshape(xp_x.shape[:-1] + (groups, ch))
-            sg = skip_p.reshape(skip_p.shape[:-1] + (groups, ch))
-            xp = jnp.concatenate([xg, sg], axis=-1).reshape(
-                xp_x.shape[:-1] + (groups * 2 * ch,))
+            xp = jnp.concatenate([xp_x, skip_p], axis=-1)
             residual = xp_x
             x = xp
             for i in range(self.num_convolutions):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                         packed=True)(x)
+                         packed=True,
+                         packed_input_splits=(ch, ch) if i == 0 else None)(x)
                 if i == self.num_convolutions - 1:
                     x = x + residual
                 x = Norm(self.norm, self.dtype, self.param_dtype, groups,

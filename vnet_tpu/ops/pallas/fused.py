@@ -88,6 +88,130 @@ def fused_bias_prelu_residual(x, residual, bias, alpha, *,
 
 
 # ---------------------------------------------------------------------------
+# BatchNorm statistics reductions
+# ---------------------------------------------------------------------------
+
+
+def bn_stats(x, *, tile_rows: int = 0, interpret: bool = False):
+    """Per-channel ``(sum, sum_of_squares)`` over all leading dims, f32.
+
+    One bandwidth-bound pass: row tiles stream HBM->VMEM once; both moments
+    accumulate in a VMEM f32 scratch (TPU grid iterations are sequential
+    per core, so the accumulator carries across iterations). XLA's
+    equivalent ``convert_reduce`` fusions measured ~14x off roofline for
+    the V-Net's big packed activations (BENCHMARKS.md).
+
+    Args:
+      x: ``(..., C)`` any float dtype.
+    Returns:
+      ``(sum, sumsq)`` — each ``(C,)`` float32.
+    """
+    c = x.shape[-1]
+    rows = int(np.prod(x.shape[:-1]))
+    x2 = x.reshape(rows, c)
+
+    tile = tile_rows or min(rows, 4096)
+    while rows % tile:
+        tile -= 1
+    grid = (rows // tile,)
+
+    def kernel(x_ref, sum_ref, sq_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        xf = x_ref[:].astype(jnp.float32)
+        acc[0, :] += jnp.sum(xf, axis=0)
+        acc[1, :] += jnp.sum(xf * xf, axis=0)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            sum_ref[:] = acc[0:1, :]
+            sq_ref[:] = acc[1:2, :]
+
+    s, sq = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(x2)
+    return s[0], sq[0]
+
+
+def bn_grad_stats(dy, x, mean, invstd, *, tile_rows: int = 0,
+                  interpret: bool = False):
+    """Per-channel ``(sum(dy), sum(dy * xhat))`` with
+    ``xhat = (x - mean) * invstd`` — the two reductions of the BatchNorm
+    backward, in one streaming pass over ``dy`` and ``x``.
+
+    Args:
+      dy, x: ``(..., C)`` same shape; mean, invstd: ``(C,)``.
+    Returns:
+      ``(sum_dy, sum_dy_xhat)`` — each ``(C,)`` float32.
+    """
+    c = x.shape[-1]
+    rows = int(np.prod(x.shape[:-1]))
+    dy2 = dy.reshape(rows, c)
+    x2 = x.reshape(rows, c)
+    mean2 = jnp.asarray(mean, jnp.float32).reshape(1, c)
+    inv2 = jnp.asarray(invstd, jnp.float32).reshape(1, c)
+
+    tile = tile_rows or min(rows, 2048)
+    while rows % tile:
+        tile -= 1
+    grid = (rows // tile,)
+
+    def kernel(dy_ref, x_ref, mean_ref, inv_ref, sdy_ref, sdx_ref, acc):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        dyf = dy_ref[:].astype(jnp.float32)
+        xhat = (x_ref[:].astype(jnp.float32) - mean_ref[:]) * inv_ref[:]
+        acc[0, :] += jnp.sum(dyf, axis=0)
+        acc[1, :] += jnp.sum(dyf * xhat, axis=0)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            sdy_ref[:] = acc[0:1, :]
+            sdx_ref[:] = acc[1:2, :]
+
+    sdy, sdx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, c), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[pl.BlockSpec((1, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, c), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, c), jnp.float32),
+                   jax.ShapeDtypeStruct((1, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        interpret=interpret,
+    )(dy2, x2, mean2, inv2)
+    return sdy[0], sdx[0]
+
+
+# ---------------------------------------------------------------------------
 # sliding-window blend accumulate
 # ---------------------------------------------------------------------------
 

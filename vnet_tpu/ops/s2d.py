@@ -127,11 +127,18 @@ def _pack_maps(k: int, rank: int) -> Tuple[np.ndarray, np.ndarray]:
     return tap_index, mask
 
 
-def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+def pack_kernel(kernel: jnp.ndarray, factor: int = 2,
+                input_splits=None) -> jnp.ndarray:
     """(k,...,k, Cin, Cout) -> packed (kp,...,kp, 8Cin, 8Cout) kernel.
 
     Channel layout matches :func:`space_to_depth` (offset-major).
     Differentiable: implemented as a constant-index gather + mask.
+
+    ``input_splits=(C1, C2, ...)`` with ``sum == Cin``: the packed input is
+    a FLAT channel concatenation of separately-packed tensors (offset-major
+    within each block) — e.g. the decoder's ``concat([up, skip])``
+    (`networks.py:330`) done directly on packed tensors with no
+    re-interleaving reshape. The kernel rows are permuted to match.
     """
     assert factor == 2, "only factor 2 implemented"
     rank = kernel.ndim - 2
@@ -145,14 +152,28 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     # (kp^rank, E, D, cin, cout)
     gathered = taps[tap_index]
     gathered = jnp.where(jnp.asarray(mask)[..., None, None], gathered, 0)
-    # -> (kp^rank, E, cin, D, cout) -> (kp..., E*cin, D*cout)
+    # -> (kp^rank, E, cin, D, cout)
     packed = jnp.transpose(gathered, (0, 1, 3, 2, 4))
+    if input_splits is not None:
+        assert sum(input_splits) == cin, (input_splits, cin)
+        # row order [(block, e, c_in_block)] instead of [(e, c)]
+        blocks = []
+        off = 0
+        for cb in input_splits:
+            blk = packed[:, :, off:off + cb]  # (a, E, cb, D, cout)
+            blocks.append(blk.reshape(kp ** rank, n_off * cb,
+                                      n_off, cout))
+            off += cb
+        packed = jnp.concatenate(blocks, axis=1)
+        packed = packed.reshape((kp,) * rank + (n_off * cin, n_off * cout))
+        return packed.astype(kernel.dtype)
     packed = packed.reshape((kp,) * rank + (n_off * cin, n_off * cout))
     return packed.astype(kernel.dtype)
 
 
 def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
-                preferred_element_type=None, halo=None) -> jnp.ndarray:
+                preferred_element_type=None, halo=None,
+                input_splits=None) -> jnp.ndarray:
     """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
     without the transposes. ``xp`` is ``(B, *spatial/2, 2^r * Cin)``
     offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
@@ -161,12 +182,15 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
     along ``spatial_axis`` inside ``shard_map`` — exchange neighbor slabs
     in the packed domain and convolve VALID there (see
     `vnet_tpu/parallel/spatial.py`).
+
+    ``input_splits``: ``xp`` is a flat channel concat of separately-packed
+    tensors — see :func:`pack_kernel`.
     """
     rank = kernel.ndim - 2
     k = kernel.shape[0]
     assert k % 2 == 1
     kp, _ = _packing_plan(k, rank)
-    packed = pack_kernel(kernel)
+    packed = pack_kernel(kernel, input_splits=input_splits)
     h = k // 2
     a_min = min(divmod(d + u, 2)[0] for d in (0, 1)
                 for u in range(-h, h + 1))
