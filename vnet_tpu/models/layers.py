@@ -121,22 +121,14 @@ class PackedBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda s: jnp.ones(s, jnp.float32), (c,))
 
+        # NB: stats stay as plain jnp reductions — XLA fuses them into the
+        # preceding convolution's output fusion (conv + epilogue + both
+        # moments in ONE kOutput fusion at MXU roofline, see BENCHMARKS.md
+        # "BN statistics"). Routing them through the Pallas kernels in
+        # ops/pallas/batchnorm.py breaks that fusion and measured 14%
+        # SLOWER end-to-end; the custom-VJP path is kept for workloads
+        # where the producer is not a convolution.
         part = _partition()
-        if not self.use_running_average and part is None:
-            # hot path: custom-VJP BN whose four large reductions (fwd
-            # mean/E[x^2], bwd sum(dy)/sum(dy*xhat)) run as streaming
-            # Pallas kernels on TPU (ops/pallas/batchnorm.py) — XLA's
-            # convert_reduce fusions for these measured far off roofline
-            from ..ops.pallas.batchnorm import batch_norm_train
-            y, mean, var = batch_norm_train(x, scale, bias, 0.0,
-                                            self.groups, self.epsilon)
-            if not self.is_initializing():
-                ra_mean.value = (self.momentum * ra_mean.value
-                                 + (1 - self.momentum) * mean)
-                ra_var.value = (self.momentum * ra_var.value
-                                + (1 - self.momentum) * var)
-            return y
-
         xg = x.reshape(x.shape[:-1] + (self.groups, c))
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value

@@ -1,17 +1,17 @@
-"""Custom-VJP BatchNorm with Pallas statistic reductions.
+"""Custom-VJP BatchNorm with (optionally Pallas) statistic reductions.
 
-XLA compiles the V-Net's BatchNorm statistics (forward mean/E[x^2], and
-the backward's sum(dy)/sum(dy*xhat)) into ``convert_reduce`` input
-fusions that measured far off the HBM roofline on v5e for the big packed
-activations (~27% of step time, BENCHMARKS.md). This module reimplements
-train-mode BN as one ``jax.custom_vjp`` whose four large reductions run
-through the streaming Pallas kernels in ``fused.py`` (one HBM pass each);
-all elementwise math stays in XLA where it fuses with neighbors.
+Measured outcome on v5e (BENCHMARKS.md "BN statistics"): for the V-Net,
+XLA already fuses the forward moments INTO the producing convolution's
+kOutput fusion (conv + epilogue + both reductions in one pass at MXU
+roofline), so forcing the reductions through Pallas kernels breaks that
+fusion and is ~14% slower end-to-end; with ``STATS_IMPL="xla"`` this
+custom-VJP is performance-neutral vs autodiff. It is therefore NOT used
+by the model zoo's norm layers — it exists for norm sites whose producer
+is not a convolution (where the streaming kernels in ``fused.py`` win)
+and as the measured record of the experiment.
 
-Semantics are EXACT BatchNorm (biased variance, f32 statistics): used by
-``PackedBatchNorm``/``Norm`` in `vnet_tpu/models/layers.py` behind
-``vnet_tpu.ops.pallas.batchnorm.STATS_IMPL`` — "pallas" on TPU, "xla"
-elsewhere (interpret-mode Pallas would crawl on CPU).
+Semantics are EXACT train-mode BatchNorm (biased variance, f32
+statistics); equivalence to autodiff is covered by tests/test_pallas_bn.py.
 """
 
 from __future__ import annotations
@@ -25,8 +25,10 @@ import numpy as np
 
 from .fused import bn_grad_stats, bn_stats
 
-# resolved lazily: "auto" -> "pallas" on TPU backends, "xla" otherwise
-STATS_IMPL = "auto"
+# "xla" (default; lets XLA fuse the reductions with their producer) or
+# "pallas" (streaming kernels from fused.py — use when the producer is
+# not a convolution and XLA's layout choice defeats the reduce).
+STATS_IMPL = "xla"
 
 
 def stats_impl() -> str:
