@@ -102,7 +102,9 @@ int main(int argc, char** argv) {
     }
     pjrt = std::make_unique<vnet::PjrtExecutor>(plugin, ss.str(), options);
     std::cout << "PJRT platform: " << pjrt->platform_name() << "\n";
-    executor = pjrt->AsExecutor();
+    // the exported StableHLO has a fixed batch dim = opts.batch_size;
+    // AsExecutor chunks/pads incoming batches to it
+    executor = pjrt->AsExecutor(opts.batch_size);
     if (argc > 9) opts.num_classes = std::stol(argv[9]);
   }
 #endif

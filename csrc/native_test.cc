@@ -179,6 +179,103 @@ static int TestInferenceClientEndToEnd() {
   return 0;
 }
 
+#ifdef STUB_PJRT_PLUGIN
+#include "pjrt_executor.h"
+
+// Full PJRT flow against the stub plugin: dlopen -> client (with
+// NamedValue options) -> compile -> H2D -> execute -> D2H. The stub's
+// "program" computes p1 = clamp(x/255, 0, 1).
+static int TestPjrtExecutorAgainstStub() {
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "func @main { stub }");
+  CHECK(exec.platform_name() == "stub");
+
+  std::vector<float> input = {-2.f, 0.f, 51.f, 255.f};
+  std::vector<int64_t> dims = {1, 2, 2, 1, 1};
+  std::vector<int64_t> out_dims;
+  std::vector<float> probs = exec.Run(input, dims, &out_dims);
+  CHECK(out_dims.size() == 5 && out_dims.back() == 2);
+  CHECK(probs.size() == 8);
+  const float expected[] = {0.f, 0.f, 0.2f, 1.f};
+  for (size_t i = 0; i < input.size(); ++i) {
+    CHECK(std::fabs(probs[2 * i + 1] - expected[i]) < 1e-5f);
+    CHECK(std::fabs(probs[2 * i] + probs[2 * i + 1] - 1.0f) < 1e-5f);
+  }
+  return 0;
+}
+
+// Retry logic: the first Execute fails (injected via a create option);
+// Run's second attempt must succeed.
+static int TestPjrtExecutorRetry() {
+  std::vector<vnet::PjrtExecutor::Option> options(1);
+  options[0].name = "stub_fail_executes";
+  options[0].int_value = 1;
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub", options);
+  std::vector<float> input = {127.5f};
+  std::vector<float> probs = exec.Run(input, {1, 1, 1, 1, 1});
+  CHECK(probs.size() == 2);
+  CHECK(std::fabs(probs[1] - 0.5f) < 1e-6f);
+
+  // two consecutive failures exhaust max_attempts=2 -> throws
+  options[0].int_value = 2;
+  vnet::PjrtExecutor exec2(STUB_PJRT_PLUGIN, "stub", options);
+  bool threw = false;
+  try {
+    exec2.Run(input, {1, 1, 1, 1, 1});
+  } catch (const std::exception&) {
+    threw = true;
+  }
+  CHECK(threw);
+  return 0;
+}
+
+// Batch bucketing: a 5-patch request through an executable compiled for
+// batch 2 (3 chunks, padded tail), validated against direct math.
+static int TestPjrtExecutorBatchBucketing() {
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub");
+  vnet::Executor run = exec.AsExecutor(/*compiled_batch=*/2);
+  const std::array<int64_t, 3> patch = {1, 1, 2};
+  std::vector<float> patches = {0.f, 1.f, 2.f, 3.f, 4.f,
+                                5.f, 6.f, 7.f, 8.f, 9.f};  // n=5, 2 voxels
+  std::vector<float> probs = run(patches, 5, patch, 2);
+  CHECK(probs.size() == 5 * 2 * 2);
+  for (size_t i = 0; i < patches.size(); ++i) {
+    CHECK(std::fabs(probs[2 * i + 1] - patches[i] / 255.0f) < 1e-5f);
+  }
+  return 0;
+}
+
+// End-to-end: InferenceClient with the PJRT executor (stub plugin) as its
+// device backend — the full native production wiring.
+static int TestInferenceClientWithPjrt() {
+  vnet::NiftiImage input;
+  input.shape = {16, 16, 16};
+  input.spacing = {1.0, 1.0, 1.0};
+  input.data.assign(16 * 16 * 16, -400.0f);
+  // bright cube in the center: windowed+normalized then sigmoid > 0.5
+  for (int x = 6; x < 10; ++x)
+    for (int y = 6; y < 10; ++y)
+      for (int z = 6; z < 10; ++z)
+        input.data[(x * 16 + y) * 16 + z] = 500.0f;
+
+  vnet::InferenceOptions opts;
+  opts.patch_shape = {8, 8, 8};
+  opts.stride = {8, 8, 8};
+  opts.batch_size = 3;  // does not divide the 8-patch grid: tests padding
+  opts.num_classes = 2;
+  opts.window_min = -1000;
+  opts.window_max = 1000;
+  opts.num_threads = 2;
+
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub");
+  vnet::InferenceClient client(opts, exec.AsExecutor(opts.batch_size));
+  vnet::NiftiImage label = client.Run(input);
+  CHECK(label.shape == input.shape);
+  CHECK(label.data[(8 * 16 + 8) * 16 + 8] == 1.0f);
+  CHECK(label.data[(2 * 16 + 2) * 16 + 2] == 0.0f);
+  return 0;
+}
+#endif  // STUB_PJRT_PLUGIN
+
 int main() {
   int failures = 0;
   failures += TestThreadPool();
@@ -188,6 +285,12 @@ int main() {
   failures += TestExtractAndBlend();
   failures += TestNiftiRoundtrip();
   failures += TestInferenceClientEndToEnd();
+#ifdef STUB_PJRT_PLUGIN
+  failures += TestPjrtExecutorAgainstStub();
+  failures += TestPjrtExecutorRetry();
+  failures += TestPjrtExecutorBatchBucketing();
+  failures += TestInferenceClientWithPjrt();
+#endif
   if (failures) {
     std::fprintf(stderr, "%d test(s) failed\n", failures);
     return 1;

@@ -2,6 +2,8 @@
 
 #include <dlfcn.h>
 
+#include <algorithm>
+#include <cstdio>
 #include <cstring>
 #include <stdexcept>
 
@@ -174,9 +176,50 @@ std::string PjrtExecutor::platform_name() const {
   return std::string(args.platform_name, args.platform_name_size);
 }
 
+namespace {
+
+// Destroys a PJRT buffer when leaving scope (exception-safe cleanup).
+class BufferGuard {
+ public:
+  BufferGuard(const PJRT_Api* api, PJRT_Buffer* buffer)
+      : api_(api), buffer_(buffer) {}
+  ~BufferGuard() {
+    if (buffer_ == nullptr) return;
+    PJRT_Buffer_Destroy_Args args;
+    std::memset(&args, 0, sizeof(args));
+    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+    args.buffer = buffer_;
+    api_->PJRT_Buffer_Destroy(&args);
+  }
+  BufferGuard(const BufferGuard&) = delete;
+  BufferGuard& operator=(const BufferGuard&) = delete;
+
+ private:
+  const PJRT_Api* api_;
+  PJRT_Buffer* buffer_;
+};
+
+}  // namespace
+
 std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
                                      const std::vector<int64_t>& dims,
-                                     std::vector<int64_t>* out_dims) {
+                                     std::vector<int64_t>* out_dims,
+                                     int max_attempts) {
+  for (int attempt = 1;; ++attempt) {
+    try {
+      return RunOnce(input, dims, out_dims);
+    } catch (const std::exception& e) {
+      if (attempt >= max_attempts) throw;
+      std::fprintf(stderr,
+                   "PjrtExecutor: attempt %d/%d failed (%s); retrying\n",
+                   attempt, max_attempts, e.what());
+    }
+  }
+}
+
+std::vector<float> PjrtExecutor::RunOnce(const std::vector<float>& input,
+                                         const std::vector<int64_t>& dims,
+                                         std::vector<int64_t>* out_dims) {
   const PJRT_Api* api = impl_->api;
 
   PJRT_Client_BufferFromHostBuffer_Args h2d;
@@ -194,6 +237,7 @@ std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
         "BufferFromHostBuffer");
   AwaitEvent(api, h2d.done_with_host_buffer, "host buffer transfer");
   PJRT_Buffer* arg = h2d.buffer;
+  BufferGuard arg_guard(api, arg);
 
   PJRT_ExecuteOptions options;
   std::memset(&options, 0, sizeof(options));
@@ -218,16 +262,8 @@ std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
   Check(api, api->PJRT_LoadedExecutable_Execute(&exec), "Execute");
   AwaitEvent(api, done[0], "execution");
 
-  // free the input buffer
-  {
-    PJRT_Buffer_Destroy_Args args;
-    std::memset(&args, 0, sizeof(args));
-    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    args.buffer = arg;
-    api->PJRT_Buffer_Destroy(&args);
-  }
-
   PJRT_Buffer* out = out_list[0];
+  BufferGuard out_guard(api, out);
   if (out_dims != nullptr) {
     PJRT_Buffer_Dimensions_Args dargs;
     std::memset(&dargs, 0, sizeof(dargs));
@@ -246,22 +282,40 @@ std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
   d2h.dst = result.data();
   Check(api, api->PJRT_Buffer_ToHostBuffer(&d2h), "ToHostBuffer");
   AwaitEvent(api, d2h.event, "device-to-host transfer");
-
-  {
-    PJRT_Buffer_Destroy_Args args;
-    std::memset(&args, 0, sizeof(args));
-    args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
-    args.buffer = out;
-    api->PJRT_Buffer_Destroy(&args);
-  }
   return result;
 }
 
-Executor PjrtExecutor::AsExecutor() {
-  return [this](const std::vector<float>& patches, int64_t n,
-                const std::array<int64_t, 3>& patch, int64_t num_classes) {
-    std::vector<int64_t> dims = {n, patch[0], patch[1], patch[2], 1};
-    return Run(patches, dims);
+Executor PjrtExecutor::AsExecutor(int64_t compiled_batch) {
+  return [this, compiled_batch](const std::vector<float>& patches, int64_t n,
+                                const std::array<int64_t, 3>& patch,
+                                int64_t num_classes) {
+    const int64_t voxels = patch[0] * patch[1] * patch[2];
+    if (compiled_batch <= 0 || n == compiled_batch) {
+      std::vector<int64_t> dims = {n, patch[0], patch[1], patch[2], 1};
+      return Run(patches, dims);
+    }
+    // chunk to the executable's fixed batch; pad the tail by repeating
+    // the last patch (extra rows are sliced off — same contract as the
+    // Python evaluator's grid padding, vnet_tpu/infer/sliding_window.py)
+    std::vector<int64_t> dims = {compiled_batch, patch[0], patch[1],
+                                 patch[2], 1};
+    std::vector<float> out;
+    out.reserve(static_cast<size_t>(n) * voxels * num_classes);
+    std::vector<float> chunk(static_cast<size_t>(compiled_batch) * voxels);
+    for (int64_t start = 0; start < n; start += compiled_batch) {
+      const int64_t m = std::min(compiled_batch, n - start);
+      std::memcpy(chunk.data(), patches.data() + start * voxels,
+                  static_cast<size_t>(m) * voxels * sizeof(float));
+      for (int64_t pad = m; pad < compiled_batch; ++pad) {
+        std::memcpy(chunk.data() + pad * voxels,
+                    chunk.data() + (m - 1) * voxels,
+                    static_cast<size_t>(voxels) * sizeof(float));
+      }
+      std::vector<float> probs = Run(chunk, dims);
+      out.insert(out.end(), probs.begin(),
+                 probs.begin() + static_cast<size_t>(m) * voxels * num_classes);
+    }
+    return out;
   };
 }
 

@@ -40,16 +40,27 @@ class PjrtExecutor {
   std::string platform_name() const;
 
   // Run the compiled function on one f32 input of shape `dims`; returns the
-  // flattened f32 output (the exported softmax probabilities).
+  // flattened f32 output (the exported softmax probabilities). Transient
+  // PJRT failures are retried up to `max_attempts` times total.
   std::vector<float> Run(const std::vector<float>& input,
                          const std::vector<int64_t>& dims,
-                         std::vector<int64_t>* out_dims = nullptr);
+                         std::vector<int64_t>* out_dims = nullptr,
+                         int max_attempts = 2);
 
   // Adapt to the InferenceClient Executor interface: patches
   // (n, *patch, 1) -> probabilities (n, *patch, num_classes).
-  Executor AsExecutor();
+  // `compiled_batch`: the fixed batch dimension the StableHLO program was
+  // exported with. Incoming batches are chunked to it and the final
+  // partial chunk is padded (repeating the last patch) then truncated —
+  // the exported executable's shape never varies. 0 = pass n through
+  // unchanged (the program must accept it).
+  Executor AsExecutor(int64_t compiled_batch = 0);
 
  private:
+  std::vector<float> RunOnce(const std::vector<float>& input,
+                             const std::vector<int64_t>& dims,
+                             std::vector<int64_t>* out_dims);
+
   struct Impl;
   std::unique_ptr<Impl> impl_;
 };

@@ -322,6 +322,9 @@ class SpatialConv(nn.Module):
     # packed_down=True: stride-2 2^r conv whose input is ALREADY packed —
     # one matmul, output unpacked on the half-resolution grid.
     packed_down: bool = False
+    # with packed_down: emit the NEXT level's packed layout directly
+    # (s2d on the wide packed tensor + grouped matmul, ops/s2d.py)
+    packed_down_keep: bool = False
     # packed input is a flat channel concat of separately-packed tensors
     # (decoder skip splice); see ops/s2d.py::pack_kernel
     packed_input_splits: Optional[tuple] = None
@@ -346,9 +349,12 @@ class SpatialConv(nn.Module):
         if self.packed_down:
             assert k == (2,) * rank and tuple(self.strides) == (2,) * rank
             from ..ops.s2d import packed_down_conv
-            y = packed_down_conv(x, kernel_c)
+            y = packed_down_conv(x, kernel_c,
+                                 keep_packed=self.packed_down_keep)
             if bias is not None:
-                y = y + bias.astype(compute_dtype)
+                b = bias.astype(compute_dtype)
+                y = y + (jnp.tile(b, 2 ** rank)
+                         if self.packed_down_keep else b)
             return y
 
         if self.packed:
@@ -535,6 +541,9 @@ class DownConv(nn.Module):
     # packed_input=True: x is already in the s2d domain — the stride-2
     # conv is then a single matmul over packed channels (no repacking)
     packed_input: bool = False
+    # packed_output=True (requires packed_input): emit the next level's
+    # packed layout; norm/activation run offset-aware in the packed domain
+    packed_output: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -544,9 +553,18 @@ class DownConv(nn.Module):
             ch = x.shape[-1] // (2 ** rank)
             x = SpatialConv(ch * self.factor, (2,) * rank,
                             strides=(2,) * rank, packed_down=True,
+                            packed_down_keep=self.packed_output,
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name="conv")(x)
+            if self.packed_output:
+                groups = 2 ** rank
+                x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                         name="norm")(x, train)
+                x = Activation(self.activation, self.param_dtype, groups,
+                               name="act")(x)
+                return x
         else:
+            assert not self.packed_output
             ch = x.shape[-1]
             x = conv(ch * self.factor, self.factor, rank,
                      strides=(self.factor,) * rank, dtype=self.dtype,

@@ -242,28 +242,54 @@ class VNet(nn.Module):
                     and all(s % 2 == 0 for s in spatial)
                     and groups * (2 * ch if decoder else ch) <= cap)
 
-        # encoder (networks.py:270-280)
+        # encoder (networks.py:270-280). x_p tracks whether x is currently
+        # in the packed layout of its own grid: down-convs emit the next
+        # level's packed layout directly when both sides are packed, so
+        # level boundaries cost zero s2d transposes.
         skips = []          # (tensor, is_packed)
+        x_p = False
         for level in range(self.num_levels):
-            spatial, ch = x.shape[1:-1], x.shape[-1]
+            if x_p:
+                spatial = tuple(2 * s for s in x.shape[1:-1])
+                ch = x.shape[-1] // (2 ** rank)
+            else:
+                spatial, ch = x.shape[1:-1], x.shape[-1]
             enc_p = level_packed(spatial, ch)
+            if x_p and not enc_p:
+                from ..ops.s2d import depth_to_space
+                x = depth_to_space(x)
+                x_p = False
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
                           self.param_dtype, block_impl,
-                          packed_mode=enc_p, pack_input=True,
+                          packed_mode=enc_p, pack_input=not x_p,
                           unpack_output=not enc_p,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append((x, enc_p))
+            next_p = level_packed(tuple(s // 2 for s in spatial), ch * 2)
+            down_keep = (enc_p and next_p
+                         and all(s % 4 == 0 for s in spatial))
             x = DownConv(2, self.norm, self.activation, self.dtype,
                          self.param_dtype, impl, packed_input=enc_p,
+                         packed_output=down_keep,
                          name=f"down_{level + 1}")(x, train)
+            x_p = down_keep
 
         # bottom (networks.py:282-283)
-        bot_p = level_packed(x.shape[1:-1], x.shape[-1])
+        if x_p:
+            bot_spatial = tuple(2 * s for s in x.shape[1:-1])
+            bot_ch = x.shape[-1] // (2 ** rank)
+        else:
+            bot_spatial, bot_ch = x.shape[1:-1], x.shape[-1]
+        bot_p = level_packed(bot_spatial, bot_ch)
+        if x_p and not bot_p:
+            from ..ops.s2d import depth_to_space
+            x = depth_to_space(x)
+            x_p = False
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
                       self.param_dtype, block_impl, packed_mode=bot_p,
-                      name="bottom")(x, train)
+                      pack_input=not x_p, name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
         out_packed = False

@@ -208,15 +208,31 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
         preferred_element_type=preferred_element_type).astype(xp.dtype)
 
 
-def packed_down_conv(xp: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+def packed_down_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
+                     keep_packed: bool = False) -> jnp.ndarray:
     """Down-convolution consuming a packed input directly: the stride-2
     2^r conv is one matmul over the packed channels; output is UNPACKED on
-    the half-resolution grid."""
+    the half-resolution grid.
+
+    ``keep_packed=True`` emits the NEXT level's packed layout instead:
+    each stride-2 output voxel is one packed input voxel, so packing the
+    half-res output = space-to-depth of ``xp`` itself (a transpose on the
+    full 2^r*Cin-wide tensor, which XLA tiles as (8,128) instead of the
+    narrow-channel (2,128) tiles of packing the unpacked output) followed
+    by the same matmul applied per offset group.
+    """
     rank = kernel.ndim - 2
     assert all(kernel.shape[i] == 2 for i in range(rank))
     cin, cout = kernel.shape[-2], kernel.shape[-1]
     K = kernel.reshape(2 ** rank * cin, cout)
-    return jnp.einsum("...i,io->...o", xp, K).astype(xp.dtype)
+    if not keep_packed:
+        return jnp.einsum("...i,io->...o", xp, K).astype(xp.dtype)
+    groups = 2 ** rank
+    xp2 = space_to_depth(xp)  # (B, s/4, groups * (groups*cin))
+    xg = xp2.reshape(xp2.shape[:-1] + (groups, groups * cin))
+    y = jnp.einsum("...ge,eo->...go", xg, K)
+    # packed channel = g * cout + o — offset-major, the next level's layout
+    return y.astype(xp.dtype).reshape(xp2.shape[:-1] + (groups * cout,))
 
 
 def s2d_down_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
