@@ -108,3 +108,26 @@ def test_gradient_allreduce_semantics(rng):
                      out_specs=P())(w, x)
     np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_global),
                                rtol=1e-5)
+
+
+def test_multislice_mesh_fallback_cpu():
+    from vnet_tpu.parallel.mesh import (make_multislice_mesh,
+                                        shard_batch_per_host)
+    import jax
+    import numpy as np
+    # CPU devices expose no slice topology -> slice-major fallback
+    mesh = make_multislice_mesh(ici_data_parallel=2, dcn_data_parallel=2,
+                                space_parallel=2)
+    assert dict(mesh.shape) == {"data": 4, "space": 2}
+
+    mesh2 = make_multislice_mesh()  # infer: 1 slice, all devices on data
+    assert dict(mesh2.shape) == {"data": 8, "space": 1}
+
+    with pytest.raises(ValueError, match="devices"):
+        make_multislice_mesh(ici_data_parallel=3, dcn_data_parallel=2)
+
+    # single-process per-host feeding == plain shard_batch
+    x = np.arange(16, dtype=np.float32).reshape(8, 2)
+    a = shard_batch_per_host(mesh2, x)
+    np.testing.assert_array_equal(np.asarray(a), x)
+    assert a.sharding.spec == jax.sharding.PartitionSpec("data")

@@ -60,3 +60,18 @@ def test_s2d_conv_gradients_match(rng):
     gx1 = jax.grad(lambda xx: jnp.sum(s2d_conv(xx, kern) ** 2))(x)
     gx2 = jax.grad(lambda xx: jnp.sum(direct_conv(xx, kern) ** 2))(x)
     np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=1e-3)
+
+
+def test_packed_down_conv_keep_packed():
+    # keep_packed=True emits the next level's offset-major packed layout:
+    # d2s(unflatten) of it equals the plain packed_down_conv output
+    from vnet_tpu.ops.s2d import (depth_to_space, packed_down_conv,
+                                  space_to_depth)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 2, 2, 4, 8)).astype(np.float32))
+    xp = space_to_depth(x)
+    plain = packed_down_conv(xp, k)                      # (2,4,4,4,8)
+    packed = packed_down_conv(xp, k, keep_packed=True)   # (2,2,2,2,64)
+    np.testing.assert_allclose(np.asarray(depth_to_space(packed)),
+                               np.asarray(plain), rtol=1e-5, atol=1e-5)

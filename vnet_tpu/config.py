@@ -103,6 +103,9 @@ class TrainingConfig:
     # TPU-native extensions
     precision: str = "float32"
     mesh_data_parallel: int = 0  # 0 = all visible devices
+    # >1: multi-slice deployment — the data axis spans DCN (slices) major
+    # x ICI minor (parallel/mesh.py::make_multislice_mesh)
+    mesh_dcn_parallel: int = 0
     seed: int = 0
     # >1: run this many optimizer steps inside one jitted lax.scan over a
     # stacked super-batch — amortizes per-call dispatch overhead
@@ -231,6 +234,8 @@ def parse_config(tree: dict) -> Config:
         loader_backend=ts.get("LoaderBackend", "thread"),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
+        mesh_dcn_parallel=int(ts.get("Mesh", {}).get("DcnDataParallel", 0)
+                              if isinstance(ts.get("Mesh"), dict) else 0),
         seed=int(ts.get("Seed", 0)),
     )
 

@@ -266,14 +266,15 @@ class VNet(nn.Module):
                           unpack_output=not enc_p,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append((x, enc_p))
-            next_p = level_packed(tuple(s // 2 for s in spatial), ch * 2)
-            down_keep = (enc_p and next_p
-                         and all(s % 4 == 0 for s in spatial))
+            # NB: DownConv(packed_output=True) — emitting the next level's
+            # packed layout directly — measured SLOWER (228 vs 218 ms/step,
+            # 4x compile time, BENCHMARKS.md): the wide-tensor s2d +
+            # grouped matmul defeats XLA's down-conv/unpack fusion. Levels
+            # re-pack narrow tensors instead.
             x = DownConv(2, self.norm, self.activation, self.dtype,
                          self.param_dtype, impl, packed_input=enc_p,
-                         packed_output=down_keep,
                          name=f"down_{level + 1}")(x, train)
-            x_p = down_keep
+            x_p = False
 
         # bottom (networks.py:282-283)
         if x_p:

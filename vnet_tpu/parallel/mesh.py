@@ -65,6 +65,64 @@ def shard_batch(mesh: Mesh, *arrays):
     return out if len(out) > 1 else out[0]
 
 
+def make_multislice_mesh(ici_data_parallel: int = 0,
+                         dcn_data_parallel: int = 0,
+                         space_parallel: int = 1) -> Mesh:
+    """Mesh for multi-slice deployments: the ``data`` axis spans
+    DCN-major × ICI-minor so gradient all-reduce hierarchically reduces
+    inside each slice over ICI first, then once across slices over DCN
+    (XLA decomposes the psum along mesh axis order). The ``space`` axis
+    (halo exchange, ppermute-heavy) always stays inside a slice.
+
+    Falls back to plain device order when the runtime exposes no slice
+    topology (CPU meshes, single slice) — same axis names, so calling
+    code is identical either way.
+    """
+    devices = jax.devices()
+    n = len(devices)
+    if dcn_data_parallel <= 0:
+        slice_ids = {getattr(d, "slice_index", 0) for d in devices}
+        dcn_data_parallel = max(len(slice_ids), 1)
+    if ici_data_parallel <= 0:
+        ici_data_parallel = n // (dcn_data_parallel * space_parallel)
+    want = ici_data_parallel * dcn_data_parallel * space_parallel
+    if want != n:
+        raise ValueError(
+            f"mesh dcn={dcn_data_parallel} x ici={ici_data_parallel} x "
+            f"space={space_parallel} needs {want} devices, have {n}")
+
+    try:
+        from jax.experimental import mesh_utils
+        grid = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(ici_data_parallel, space_parallel),
+            dcn_mesh_shape=(dcn_data_parallel, 1),
+            devices=devices)
+    except Exception:
+        # no slice topology (CPU / single slice): jax.devices() order is
+        # already slice-major
+        grid = np.asarray(devices).reshape(
+            dcn_data_parallel * ici_data_parallel, space_parallel)
+    grid = np.asarray(grid).reshape(
+        dcn_data_parallel * ici_data_parallel, space_parallel)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def shard_batch_per_host(mesh: Mesh, *arrays):
+    """Assemble a GLOBAL batch from each process's local shard.
+
+    In multi-process (multi-host / multi-slice) runs every host loads only
+    its own cases; ``jax.make_array_from_process_local_data`` stitches the
+    per-host arrays into one global batch-sharded array without gathering
+    through host 0. Single-process: identical to :func:`shard_batch`.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, *arrays)
+    s = batch_sharding(mesh)
+    out = tuple(jax.make_array_from_process_local_data(s, np.asarray(a))
+                for a in arrays)
+    return out if len(out) > 1 else out[0]
+
+
 def pad_batch_to_multiple(batch: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
     """Pad the leading dim up to a multiple (repeating the last sample) so a
     fixed batch shards evenly; returns (padded, original_count)."""

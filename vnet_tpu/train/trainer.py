@@ -152,6 +152,11 @@ class Trainer:
         self.t = config.train
         if mesh is not None:
             self.mesh = mesh
+        elif self.t.mesh_dcn_parallel > 1:
+            from ..parallel.mesh import make_multislice_mesh
+            self.mesh = make_multislice_mesh(
+                ici_data_parallel=self.t.mesh_data_parallel,
+                dcn_data_parallel=self.t.mesh_dcn_parallel)
         else:
             dp = self.t.mesh_data_parallel
             if dp <= 0:
@@ -250,14 +255,20 @@ class Trainer:
                    distance_maps: Optional[np.ndarray] = None,
                    ) -> Tuple[TrainState, TrainStepOutput]:
         self._build_steps()
-        images = jnp.asarray(images, jnp.float32)
-        labels = jnp.asarray(labels, jnp.int32)
+        from ..parallel.mesh import shard_batch_per_host
+        # per-host feeding: each process contributes its local cases and
+        # the batch assembles globally (multi-slice/multi-host safe)
+        images = shard_batch_per_host(self.mesh,
+                                      np.asarray(images, np.float32))
+        labels = shard_batch_per_host(self.mesh,
+                                      np.asarray(labels, np.int32))
         if self.is_attention:
             if distance_maps is None:
                 distance_maps = np.zeros(labels.shape, np.float32)
             state, loss, aux, metrics = self._train_step_fn(
                 state, images, labels, rng,
-                jnp.asarray(distance_maps, jnp.float32))
+                shard_batch_per_host(self.mesh,
+                                     np.asarray(distance_maps, np.float32)))
         else:
             state, loss, aux, metrics = self._train_step_fn(
                 state, images, labels, rng)
