@@ -4,6 +4,7 @@
 #include <cmath>
 #include <cstring>
 #include <future>
+#include <optional>
 #include <stdexcept>
 
 #include "safe_queue.h"
@@ -168,16 +169,36 @@ NiftiImage InferenceClient::Run(const NiftiImage& input) const {
     queue.Close();
   });
 
-  while (auto batch = queue.Pop()) {
-    std::vector<float> probs =
-        executor_(batch->patches, batch->count, patch, C);
-    if ((int64_t)probs.size() != batch->count * patch_elems * C) {
-      producer.join();
+  // two-stage pipeline: while the executor runs batch i on the device,
+  // the main thread blends batch i-1's probabilities on the host
+  // (executor calls themselves stay strictly serialized).
+  std::optional<Batch> prev;
+  std::future<std::vector<float>> inflight;
+  auto blend_prev = [&] {
+    std::vector<float> probs = inflight.get();
+    if ((int64_t)probs.size() != prev->count * patch_elems * C) {
       throw std::runtime_error("executor returned wrong size");
     }
     vnet_blend_accumulate(acc.data(), weight.data(), volume.shape.data(), C,
                           probs.data(), window.data(), patch.data(),
-                          starts.data() + batch->first * 3, batch->count);
+                          starts.data() + prev->first * 3, prev->count);
+  };
+  try {
+    while (auto batch = queue.Pop()) {
+      if (prev) blend_prev();
+      prev = std::move(*batch);
+      inflight = std::async(std::launch::async, [this, &patch, C, &prev] {
+        return executor_(prev->patches, prev->count, patch, C);
+      });
+    }
+    if (prev) blend_prev();
+  } catch (...) {
+    if (inflight.valid()) {
+      try { inflight.wait(); } catch (...) {}
+    }
+    while (queue.Pop()) {}  // drain so the producer can finish
+    producer.join();
+    throw;
   }
   producer.join();
 

@@ -179,6 +179,42 @@ static int TestInferenceClientEndToEnd() {
   return 0;
 }
 
+static int TestInferenceClientExecutorFailure() {
+  // an executor that throws mid-run must surface the error (not hang the
+  // producer/pipeline) and leave the client reusable
+  vnet::NiftiImage input;
+  input.shape = {16, 16, 16};
+  input.spacing = {1, 1, 1};
+  input.data.assign(16 * 16 * 16, 10.0f);
+
+  vnet::InferenceOptions opts;
+  opts.patch_shape = {8, 8, 8};
+  opts.stride = {8, 8, 8};
+  opts.batch_size = 2;
+  opts.num_classes = 2;
+  opts.window_min = 0;
+  opts.window_max = 600;
+  opts.num_threads = 2;
+
+  int calls = 0;
+  auto executor = [&calls](const std::vector<float>& patches, int64_t n,
+                           const std::array<int64_t, 3>& patch,
+                           int64_t classes) -> std::vector<float> {
+    if (++calls == 2) throw std::runtime_error("boom");
+    const int64_t elems = patch[0] * patch[1] * patch[2];
+    return std::vector<float>((size_t)(n * elems * classes), 0.5f);
+  };
+  vnet::InferenceClient client(opts, executor);
+  bool threw = false;
+  try {
+    client.Run(input);
+  } catch (const std::exception& e) {
+    threw = std::string(e.what()) == "boom";
+  }
+  CHECK(threw);
+  return 0;
+}
+
 #ifdef STUB_PJRT_PLUGIN
 #include "pjrt_executor.h"
 
@@ -285,6 +321,7 @@ int main() {
   failures += TestExtractAndBlend();
   failures += TestNiftiRoundtrip();
   failures += TestInferenceClientEndToEnd();
+  failures += TestInferenceClientExecutorFailure();
 #ifdef STUB_PJRT_PLUGIN
   failures += TestPjrtExecutorAgainstStub();
   failures += TestPjrtExecutorRetry();
