@@ -194,6 +194,10 @@ class VNet(nn.Module):
     # behaves like "auto" at per-site granularity so odd-shaped tensors
     # fall back to the direct conv.
     conv_impl: str = "direct"
+    # packed-mode eligibility cap on 2^rank * channels (decoder: 2x): deep
+    # levels with >=64 channels already feed the MXU reasonably direct,
+    # and packing costs 1.73x FLOPs — lowering the cap trades them
+    packed_cap: int = 1024
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -236,7 +240,7 @@ class VNet(nn.Module):
         # in the s2d domain: skips stay packed, down-convs consume packed)
         def level_packed(spatial, ch, decoder=False):
             groups = 2 ** rank
-            cap = 2048 if decoder else 1024
+            cap = 2 * self.packed_cap if decoder else self.packed_cap
             return (block_impl == "packed"
                     and self.norm in ("batch", "batch_stats")
                     and all(s % 2 == 0 for s in spatial)
