@@ -280,6 +280,58 @@ static int TestPjrtExecutorBatchBucketing() {
   return 0;
 }
 
+// Staged H2D API: handle semantics (empty, move, abandon-without-execute)
+// and value correctness through StageInput -> ExecuteStaged.
+static int TestPjrtExecutorStagedInput() {
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub");
+
+  vnet::PjrtExecutor::StagedInput empty;
+  CHECK(!empty);
+  bool threw = false;
+  try {
+    exec.ExecuteStaged(std::move(empty));
+  } catch (const std::exception&) {
+    threw = true;
+  }
+  CHECK(threw);
+
+  std::vector<float> input = {51.f, 255.f};
+  std::vector<int64_t> dims = {1, 1, 1, 2, 1};
+  vnet::PjrtExecutor::StagedInput staged = exec.StageInput(input, dims);
+  CHECK(static_cast<bool>(staged));
+  vnet::PjrtExecutor::StagedInput moved = std::move(staged);
+  CHECK(static_cast<bool>(moved) && !staged);
+  std::vector<int64_t> out_dims;
+  std::vector<float> probs = exec.ExecuteStaged(std::move(moved), &out_dims);
+  CHECK(out_dims.back() == 2 && probs.size() == 4);
+  CHECK(std::fabs(probs[1] - 0.2f) < 1e-5f);
+  CHECK(std::fabs(probs[3] - 1.0f) < 1e-5f);
+
+  // abandoning a staged handle must clean up without executing
+  { vnet::PjrtExecutor::StagedInput dropped = exec.StageInput(input, dims); }
+  return 0;
+}
+
+// Transient failure inside the double-buffered chunk loop: the staged
+// handle is consumed by the failed Execute; the loop must restage from the
+// still-live host chunk and produce correct results for ALL chunks.
+static int TestPjrtExecutorPipelinedRetry() {
+  std::vector<vnet::PjrtExecutor::Option> options(1);
+  options[0].name = "stub_fail_executes";
+  options[0].int_value = 1;  // chunk 0's first execute fails
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub", options);
+  vnet::Executor run = exec.AsExecutor(/*compiled_batch=*/2);
+  const std::array<int64_t, 3> patch = {1, 1, 2};
+  std::vector<float> patches = {0.f, 1.f, 2.f, 3.f, 4.f,
+                                5.f, 6.f, 7.f, 8.f, 9.f};
+  std::vector<float> probs = run(patches, 5, patch, 2);
+  CHECK(probs.size() == 5 * 2 * 2);
+  for (size_t i = 0; i < patches.size(); ++i) {
+    CHECK(std::fabs(probs[2 * i + 1] - patches[i] / 255.0f) < 1e-5f);
+  }
+  return 0;
+}
+
 // End-to-end: InferenceClient with the PJRT executor (stub plugin) as its
 // device backend — the full native production wiring.
 static int TestInferenceClientWithPjrt() {
@@ -326,6 +378,8 @@ int main() {
   failures += TestPjrtExecutorAgainstStub();
   failures += TestPjrtExecutorRetry();
   failures += TestPjrtExecutorBatchBucketing();
+  failures += TestPjrtExecutorStagedInput();
+  failures += TestPjrtExecutorPipelinedRetry();
   failures += TestInferenceClientWithPjrt();
 #endif
   if (failures) {

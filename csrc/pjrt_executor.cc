@@ -217,11 +217,55 @@ std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
   }
 }
 
-std::vector<float> PjrtExecutor::RunOnce(const std::vector<float>& input,
-                                         const std::vector<int64_t>& dims,
-                                         std::vector<int64_t>* out_dims) {
-  const PJRT_Api* api = impl_->api;
+struct PjrtExecutor::StagedInput::State {
+  const PJRT_Api* api = nullptr;
+  PJRT_Buffer* buffer = nullptr;     // device buffer, owned
+  PJRT_Event* host_done = nullptr;   // transfer-complete event, owned
 
+  ~State() {
+    if (host_done != nullptr) {
+      // Honor the host-buffer contract even on abandonment: the caller may
+      // free its input right after the handle dies.
+      PJRT_Event_Await_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Event_Await_Args_STRUCT_SIZE;
+      args.event = host_done;
+      PJRT_Error* err = api->PJRT_Event_Await(&args);
+      if (err != nullptr) {
+        PJRT_Error_Destroy_Args dargs;
+        std::memset(&dargs, 0, sizeof(dargs));
+        dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+        dargs.error = err;
+        api->PJRT_Error_Destroy(&dargs);
+      }
+      PJRT_Event_Destroy_Args eargs;
+      std::memset(&eargs, 0, sizeof(eargs));
+      eargs.struct_size = PJRT_Event_Destroy_Args_STRUCT_SIZE;
+      eargs.event = host_done;
+      api->PJRT_Event_Destroy(&eargs);
+    }
+    if (buffer != nullptr) {
+      PJRT_Buffer_Destroy_Args args;
+      std::memset(&args, 0, sizeof(args));
+      args.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      args.buffer = buffer;
+      api->PJRT_Buffer_Destroy(&args);
+    }
+  }
+};
+
+PjrtExecutor::StagedInput::StagedInput() = default;
+PjrtExecutor::StagedInput::StagedInput(StagedInput&&) noexcept = default;
+PjrtExecutor::StagedInput& PjrtExecutor::StagedInput::operator=(
+    StagedInput&&) noexcept = default;
+PjrtExecutor::StagedInput::~StagedInput() = default;
+PjrtExecutor::StagedInput::operator bool() const {
+  return state_ != nullptr;
+}
+
+PjrtExecutor::StagedInput PjrtExecutor::StageInput(
+    const std::vector<float>& input, const std::vector<int64_t>& dims) {
+  const PJRT_Api* api = impl_->api;
   PJRT_Client_BufferFromHostBuffer_Args h2d;
   std::memset(&h2d, 0, sizeof(h2d));
   h2d.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
@@ -235,9 +279,19 @@ std::vector<float> PjrtExecutor::RunOnce(const std::vector<float>& input,
   h2d.device = impl_->device;
   Check(api, api->PJRT_Client_BufferFromHostBuffer(&h2d),
         "BufferFromHostBuffer");
-  AwaitEvent(api, h2d.done_with_host_buffer, "host buffer transfer");
-  PJRT_Buffer* arg = h2d.buffer;
-  BufferGuard arg_guard(api, arg);
+  StagedInput staged;
+  staged.state_.reset(new StagedInput::State);
+  staged.state_->api = api;
+  staged.state_->buffer = h2d.buffer;
+  staged.state_->host_done = h2d.done_with_host_buffer;
+  return staged;
+}
+
+std::vector<float> PjrtExecutor::ExecuteStaged(StagedInput staged,
+                                               std::vector<int64_t>* out_dims) {
+  if (!staged) throw std::runtime_error("ExecuteStaged: empty handle");
+  const PJRT_Api* api = impl_->api;
+  PJRT_Buffer* arg = staged.state_->buffer;
 
   PJRT_ExecuteOptions options;
   std::memset(&options, 0, sizeof(options));
@@ -283,6 +337,13 @@ std::vector<float> PjrtExecutor::RunOnce(const std::vector<float>& input,
   Check(api, api->PJRT_Buffer_ToHostBuffer(&d2h), "ToHostBuffer");
   AwaitEvent(api, d2h.event, "device-to-host transfer");
   return result;
+  // ~staged: awaits the host-transfer event and frees the input buffer.
+}
+
+std::vector<float> PjrtExecutor::RunOnce(const std::vector<float>& input,
+                                         const std::vector<int64_t>& dims,
+                                         std::vector<int64_t>* out_dims) {
+  return ExecuteStaged(StageInput(input, dims), out_dims);
 }
 
 Executor PjrtExecutor::AsExecutor(int64_t compiled_batch) {
@@ -296,24 +357,60 @@ Executor PjrtExecutor::AsExecutor(int64_t compiled_batch) {
     }
     // chunk to the executable's fixed batch; pad the tail by repeating
     // the last patch (extra rows are sliced off — same contract as the
-    // Python evaluator's grid padding, vnet_tpu/infer/sliding_window.py)
+    // Python evaluator's grid padding, vnet_tpu/infer/sliding_window.py).
+    // Double-buffered: chunk k+1's host->device DMA is staged before chunk
+    // k executes, so the transfer rides under the device compute.
     std::vector<int64_t> dims = {compiled_batch, patch[0], patch[1],
                                  patch[2], 1};
     std::vector<float> out;
     out.reserve(static_cast<size_t>(n) * voxels * num_classes);
-    std::vector<float> chunk(static_cast<size_t>(compiled_batch) * voxels);
-    for (int64_t start = 0; start < n; start += compiled_batch) {
+    std::vector<float> chunk[2];
+    chunk[0].resize(static_cast<size_t>(compiled_batch) * voxels);
+    chunk[1].resize(static_cast<size_t>(compiled_batch) * voxels);
+
+    auto fill = [&](int slot, int64_t start) {
       const int64_t m = std::min(compiled_batch, n - start);
-      std::memcpy(chunk.data(), patches.data() + start * voxels,
+      std::memcpy(chunk[slot].data(), patches.data() + start * voxels,
                   static_cast<size_t>(m) * voxels * sizeof(float));
       for (int64_t pad = m; pad < compiled_batch; ++pad) {
-        std::memcpy(chunk.data() + pad * voxels,
-                    chunk.data() + (m - 1) * voxels,
+        std::memcpy(chunk[slot].data() + pad * voxels,
+                    chunk[slot].data() + (m - 1) * voxels,
                     static_cast<size_t>(voxels) * sizeof(float));
       }
-      std::vector<float> probs = Run(chunk, dims);
-      out.insert(out.end(), probs.begin(),
-                 probs.begin() + static_cast<size_t>(m) * voxels * num_classes);
+      return m;
+    };
+    // execute with one retry that restages from the still-live host chunk
+    // (mirrors Run()'s transient-failure policy; the staged handle is
+    // consumed by the failed attempt)
+    auto exec_chunk = [&](StagedInput staged, int slot) {
+      try {
+        return ExecuteStaged(std::move(staged));
+      } catch (const std::exception& e) {
+        std::fprintf(stderr,
+                     "PjrtExecutor: staged execute failed (%s); retrying\n",
+                     e.what());
+        return ExecuteStaged(StageInput(chunk[slot], dims));
+      }
+    };
+
+    int cur = 0;
+    int64_t m_cur = fill(cur, 0);
+    StagedInput staged = StageInput(chunk[cur], dims);
+    for (int64_t start = 0; start < n; start += compiled_batch) {
+      const int64_t next = start + compiled_batch;
+      int64_t m_next = 0;
+      StagedInput staged_next;
+      if (next < n) {
+        m_next = fill(1 - cur, next);
+        staged_next = StageInput(chunk[1 - cur], dims);
+      }
+      std::vector<float> probs = exec_chunk(std::move(staged), cur);
+      out.insert(
+          out.end(), probs.begin(),
+          probs.begin() + static_cast<size_t>(m_cur) * voxels * num_classes);
+      cur = 1 - cur;
+      m_cur = m_next;
+      staged = std::move(staged_next);
     }
     return out;
   };

@@ -47,6 +47,33 @@ class PjrtExecutor {
                          std::vector<int64_t>* out_dims = nullptr,
                          int max_attempts = 2);
 
+  // Staged execution: StageInput enqueues the async host->device transfer
+  // and returns a move-only handle; ExecuteStaged consumes the handle and
+  // runs the executable on it. Staging batch i+1 before executing batch i
+  // overlaps its DMA with batch i's device compute (the reference app had
+  // no such overlap — it fed the TF session synchronously,
+  // tf_inference.cpp:396-476). CONTRACT: `input` must stay alive and
+  // unmodified until ExecuteStaged on the handle returns or the handle is
+  // destroyed (PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes).
+  class StagedInput {
+   public:
+    StagedInput();
+    StagedInput(StagedInput&&) noexcept;
+    StagedInput& operator=(StagedInput&&) noexcept;
+    ~StagedInput();
+    explicit operator bool() const;
+
+   private:
+    friend class PjrtExecutor;
+    struct State;
+    std::unique_ptr<State> state_;
+  };
+
+  StagedInput StageInput(const std::vector<float>& input,
+                         const std::vector<int64_t>& dims);
+  std::vector<float> ExecuteStaged(StagedInput staged,
+                                   std::vector<int64_t>* out_dims = nullptr);
+
   // Adapt to the InferenceClient Executor interface: patches
   // (n, *patch, 1) -> probabilities (n, *patch, num_classes).
   // `compiled_batch`: the fixed batch dimension the StableHLO program was
