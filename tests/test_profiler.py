@@ -30,3 +30,40 @@ def test_trace_capture_writes_profile(tmp_path):
     for root, _dirs, files in os.walk(out):
         found.extend(files)
     assert any("xplane" in f or "trace" in f for f in found)
+
+
+def test_analyze_trace_summarizes_device_ops(tmp_path, capsys):
+    import gzip
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import analyze_trace
+
+    # synthetic Chrome trace: an 'XLA Ops' thread with a while container
+    # wrapping a fusion + copy, plus a host thread that must be ignored
+    events = [
+        {"ph": "M", "pid": 3, "tid": 3, "name": "thread_name",
+         "args": {"name": "XLA Ops"}},
+        {"ph": "M", "pid": 7, "tid": 1, "name": "thread_name",
+         "args": {"name": "python"}},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "while", "ts": 0,
+         "dur": 1000},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "fusion.3", "ts": 0,
+         "dur": 700},
+        {"ph": "X", "pid": 3, "tid": 3, "name": "copy.1", "ts": 700,
+         "dur": 300},
+        {"ph": "X", "pid": 7, "tid": 1, "name": "hostwork", "ts": 0,
+         "dur": 9999},
+    ]
+    d = tmp_path / "plugins" / "profile" / "x"
+    d.mkdir(parents=True)
+    with gzip.open(d / "m.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+
+    assert analyze_trace.main([str(tmp_path), "--group"]) == 0
+    out = capsys.readouterr().out
+    # busy time excludes the while container and the host event: 1.0 ms
+    assert "device busy time: 1.00 ms" in out
+    assert "fusion" in out and "copy" in out and "hostwork" not in out
