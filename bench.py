@@ -8,8 +8,8 @@ reference network configuration (V-Net, 16 channels, 4 levels, convs
 (1,2,3,3), bottom 3, PReLU, batch norm, Adam + weighted sorensen —
 configs/config.json:18-46 of the reference). Runs the optimized production
 path: packed space-to-depth convs, bf16 compute, rbg dropout keys, and a
-2-step lax.scan per dispatch at batch 96 (the Trainer's ScanSteps mode;
-measured optimum of the b{32,64,96,128} x k{1,2,4} sweep — BENCHMARKS.md).
+3-step lax.scan per dispatch at batch 96 (the Trainer's ScanSteps mode;
+measured optimum of the b{32,64,96,128} x k{1,..,4} sweep — BENCHMARKS.md).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is computed against REFERENCE_TF1_PATCHES_PER_SEC — a documented
@@ -40,7 +40,7 @@ def main():
 
     patch = (64, 64, 64)
     batch = 96
-    scan_k = 2
+    scan_k = 3
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
