@@ -144,3 +144,45 @@ def test_bfloat16_compute_f32_params():
     logits = model.apply(variables, x, train=False)
     assert logits.dtype == jnp.float32
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vnet_adaptive_packing_matches_direct():
+    """packed_target_lanes: each level packs only enough axes to fill the
+    MXU lanes (ops/s2d.py per-axis factors) — outputs, gradients, and the
+    parameter pytree are identical to the direct implementation."""
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 16, 16, 1)).astype(np.float32))
+
+    def build(**kw):
+        return VNet(num_classes=2, num_channels=16, num_levels=3,
+                    num_convolutions=(1, 1, 2), bottom_convolutions=1,
+                    dropout_rate=0.0, norm="batch", **kw)
+
+    ref = build(conv_impl="direct")
+    variables = ref.init({"params": jax.random.PRNGKey(0),
+                          "dropout": jax.random.PRNGKey(1)}, x, train=True)
+    out_ref = np.asarray(ref.apply(variables, x, train=False))
+
+    def loss(model, p):
+        out, _ = model.apply({"params": p,
+                              "batch_stats": variables["batch_stats"]},
+                             x, train=True,
+                             rngs={"dropout": jax.random.PRNGKey(2)},
+                             mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(variables["params"])
+    g_scale = max(float(jnp.max(jnp.abs(l)))
+                  for l in jax.tree_util.tree_leaves(g_ref))
+    for lanes in (64, 128):
+        m = build(conv_impl="packed", packed_target_lanes=lanes)
+        v2 = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x, train=True)
+        assert (jax.tree_util.tree_structure(v2["params"])
+                == jax.tree_util.tree_structure(variables["params"]))
+        out = np.asarray(m.apply(variables, x, train=False))
+        np.testing.assert_allclose(out, out_ref, atol=2e-4)
+        g = jax.grad(lambda p: loss(m, p))(variables["params"])
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g, g_ref)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3 * g_scale

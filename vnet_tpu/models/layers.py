@@ -328,12 +328,18 @@ class SpatialConv(nn.Module):
     # packed input is a flat channel concat of separately-packed tensors
     # (decoder skip splice); see ops/s2d.py::pack_kernel
     packed_input_splits: Optional[tuple] = None
+    # per-axis packing of the packed domain (None = all axes factor 2);
+    # see ops/s2d.py module docstring on the per-level FLOP-tax tradeoff
+    packed_factors: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
         rank = x.ndim - 2
         k = tuple(self.kernel_size)
-        in_features = (x.shape[-1] // (2 ** rank)
+        from ..ops.s2d import prod_factors
+        groups = (prod_factors(self.packed_factors)
+                  if self.packed_factors is not None else 2 ** rank)
+        in_features = (x.shape[-1] // groups
                        if (self.packed or self.packed_down)
                        else x.shape[-1])
         kernel = self.param("kernel", conv_kernel_init,
@@ -350,7 +356,8 @@ class SpatialConv(nn.Module):
             assert k == (2,) * rank and tuple(self.strides) == (2,) * rank
             from ..ops.s2d import packed_down_conv
             y = packed_down_conv(x, kernel_c,
-                                 keep_packed=self.packed_down_keep)
+                                 keep_packed=self.packed_down_keep,
+                                 factors=self.packed_factors)
             if bias is not None:
                 b = bias.astype(compute_dtype)
                 y = y + (jnp.tile(b, 2 ** rank)
@@ -361,7 +368,6 @@ class SpatialConv(nn.Module):
             if k == (1,) * rank:
                 # pointwise conv in the packed domain: shared weights per
                 # offset group — a grouped einsum, no repacking needed
-                groups = 2 ** rank
                 xg = x.reshape(x.shape[:-1] + (groups, in_features))
                 y = jnp.einsum("...gc,co->...go", xg,
                                kernel_c.reshape(in_features, self.features))
@@ -370,9 +376,10 @@ class SpatialConv(nn.Module):
             else:
                 from ..ops.s2d import packed_conv
                 y = packed_conv(x, kernel_c, halo=_partition(),
-                                input_splits=self.packed_input_splits)
+                                input_splits=self.packed_input_splits,
+                                factors=self.packed_factors)
             if bias is not None:
-                y = y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
+                y = y + jnp.tile(bias.astype(compute_dtype), groups)
             return y
 
         strides = tuple(self.strides) if self.strides else (1,) * rank
@@ -444,7 +451,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          strides=None, dtype=None, param_dtype=jnp.float32,
          name: Optional[str] = None, use_bias: bool = True,
          impl: str = "direct", packed: bool = False,
-         packed_input_splits=None) -> SpatialConv:
+         packed_input_splits=None, packed_factors=None) -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
@@ -459,6 +466,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
         param_dtype=param_dtype,
         packed=packed,
         packed_input_splits=packed_input_splits,
+        packed_factors=packed_factors,
         name=name,
     )
 
@@ -476,8 +484,10 @@ class SpatialConvTranspose(nn.Module):
     dtype: Optional[Dtype] = None
     param_dtype: Dtype = jnp.float32
     # packed_output=True: return the result in the space-to-depth domain
-    # (skip the depth_to_space; the consumer's space_to_depth cancels it)
+    # (skip the depth_to_space; the consumer's space_to_depth cancels it);
+    # packed_factors selects which axes stay packed (None = all)
     packed_output: bool = False
+    packed_factors: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
@@ -496,9 +506,12 @@ class SpatialConvTranspose(nn.Module):
         can_up = (k == (2,) * rank and tuple(self.strides) == (2,) * rank)
         if self.packed_output:
             assert can_up and self.impl in ("s2d", "auto")
-            from ..ops.s2d import s2d_up_conv
-            y = s2d_up_conv(x, kernel_c, keep_packed=True)
-            return y + jnp.tile(bias.astype(compute_dtype), 2 ** rank)
+            from ..ops.s2d import prod_factors, s2d_up_conv
+            y = s2d_up_conv(x, kernel_c, keep_packed=True,
+                            out_factors=self.packed_factors)
+            groups = (prod_factors(self.packed_factors)
+                      if self.packed_factors is not None else 2 ** rank)
+            return y + jnp.tile(bias.astype(compute_dtype), groups)
         if self.impl in ("s2d", "auto") and can_up:
             from ..ops.s2d import s2d_up_conv
             y = s2d_up_conv(x, kernel_c)
@@ -539,8 +552,10 @@ class DownConv(nn.Module):
     param_dtype: Dtype = jnp.float32
     impl: str = "direct"
     # packed_input=True: x is already in the s2d domain — the stride-2
-    # conv is then a single matmul over packed channels (no repacking)
+    # conv is then a single matmul over packed channels (no repacking);
+    # packed_factors: the input's per-axis packing (None = all axes)
     packed_input: bool = False
+    packed_factors: Optional[tuple] = None
     # packed_output=True (requires packed_input): emit the next level's
     # packed layout; norm/activation run offset-aware in the packed domain
     packed_output: bool = False
@@ -550,10 +565,14 @@ class DownConv(nn.Module):
         rank = x.ndim - 2
         if self.packed_input:
             assert self.factor == 2
-            ch = x.shape[-1] // (2 ** rank)
+            from ..ops.s2d import prod_factors
+            groups_in = (prod_factors(self.packed_factors)
+                         if self.packed_factors is not None else 2 ** rank)
+            ch = x.shape[-1] // groups_in
             x = SpatialConv(ch * self.factor, (2,) * rank,
                             strides=(2,) * rank, packed_down=True,
                             packed_down_keep=self.packed_output,
+                            packed_factors=self.packed_factors,
                             dtype=self.dtype, param_dtype=self.param_dtype,
                             name="conv")(x)
             if self.packed_output:
@@ -586,8 +605,10 @@ class UpConv(nn.Module):
     param_dtype: Dtype = jnp.float32
     impl: str = "direct"
     # packed_output: stay in the s2d domain (norm/act offset-aware); the
-    # consuming decoder block skips its own pack — the two transposes cancel
+    # consuming decoder block skips its own pack — the two transposes
+    # cancel. packed_factors: which axes of the OUTPUT grid stay packed.
     packed_output: bool = False
+    packed_factors: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -595,12 +616,16 @@ class UpConv(nn.Module):
         ch = x.shape[-1]
         if self.packed_output:
             assert self.factor == 2
-            groups = 2 ** rank
+            from ..ops.s2d import prod_factors
+            groups = (prod_factors(self.packed_factors)
+                      if self.packed_factors is not None else 2 ** rank)
             x = SpatialConvTranspose(ch // self.factor, (2,) * rank,
                                      (2,) * rank, impl="auto",
                                      dtype=self.dtype,
                                      param_dtype=self.param_dtype,
-                                     packed_output=True, name="deconv")(x)
+                                     packed_output=True,
+                                     packed_factors=self.packed_factors,
+                                     name="deconv")(x)
             x = Norm(self.norm, self.dtype, self.param_dtype, groups,
                      name="norm")(x, train)
             x = Activation(self.activation, self.param_dtype, groups,

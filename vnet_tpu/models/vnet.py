@@ -52,9 +52,11 @@ class ConvBlock(nn.Module):
     # packed-mode plumbing (decided by the caller, see VNet._level_packed):
     # when packed_mode, the block runs in the s2d domain; pack_input=False
     # means x arrives already packed; unpack_output=False returns packed.
+    # packed_factors: the level's per-axis packing (None = all axes x2).
     packed_mode: bool = False
     pack_input: bool = True
     unpack_output: bool = True
+    packed_factors: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -62,16 +64,18 @@ class ConvBlock(nn.Module):
         if self.packed_mode:
             # the whole block runs in the space-to-depth domain — at most
             # one pack/unpack pair at the edges instead of two per conv
-            from ..ops.s2d import depth_to_space, space_to_depth
-            groups = 2 ** rank
+            from ..ops.s2d import (depth_to_space, prod_factors,
+                                   space_to_depth)
+            factors = self.packed_factors
+            groups = prod_factors(factors) if factors else 2 ** rank
             if self.pack_input:
-                x = space_to_depth(x)
+                x = space_to_depth(x, factors=factors)
             ch = x.shape[-1] // groups
             block_input = x
             for i in range(self.num_convolutions):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                         packed=True)(x)
+                         packed=True, packed_factors=factors)(x)
                 if i == self.num_convolutions - 1:
                     x = x + block_input
                 x = Norm(self.norm, self.dtype, self.param_dtype, groups,
@@ -80,7 +84,8 @@ class ConvBlock(nn.Module):
                                name=f"act_{i + 1}")(x)
                 x = nn.Dropout(rate=self.dropout_rate,
                                deterministic=not train)(x)
-            return depth_to_space(x) if self.unpack_output else x
+            return (depth_to_space(x, factors=factors)
+                    if self.unpack_output else x)
 
         ch = x.shape[-1]
         impl = "auto" if self.conv_impl == "packed" else self.conv_impl
@@ -116,28 +121,32 @@ class DecoderConvBlock(nn.Module):
     skip_packed: bool = False  # the stored encoder skip is already packed
     x_packed: bool = False     # the up-conv output arrives already packed
     unpack_output: bool = True
+    packed_factors: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
         rank = x.ndim - 2
         if self.packed_mode:
-            from ..ops.s2d import depth_to_space, space_to_depth
-            groups = 2 ** rank
+            from ..ops.s2d import (depth_to_space, prod_factors,
+                                   space_to_depth)
+            factors = self.packed_factors
+            groups = prod_factors(factors) if factors else 2 ** rank
             ch = (x.shape[-1] // groups) if self.x_packed else x.shape[-1]
             # splice the skip in the packed domain as a FLAT channel concat
             # (no per-offset re-interleave: that 6-D reshape pattern cost
             # ~21 ms/step in layout copies at 64^3/batch-32 on v5e); the
             # first conv's packed kernel rows are permuted to match
             # (pack_kernel input_splits), later convs see standard layout
-            xp_x = x if self.x_packed else space_to_depth(x)
-            skip_p = skip if self.skip_packed else space_to_depth(skip)
+            xp_x = x if self.x_packed else space_to_depth(x, factors=factors)
+            skip_p = (skip if self.skip_packed
+                      else space_to_depth(skip, factors=factors))
             xp = jnp.concatenate([xp_x, skip_p], axis=-1)
             residual = xp_x
             x = xp
             for i in range(self.num_convolutions):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                         packed=True,
+                         packed=True, packed_factors=factors,
                          packed_input_splits=(ch, ch) if i == 0 else None)(x)
                 if i == self.num_convolutions - 1:
                     x = x + residual
@@ -147,16 +156,17 @@ class DecoderConvBlock(nn.Module):
                                name=f"act_{i + 1}")(x)
                 x = nn.Dropout(rate=self.dropout_rate,
                                deterministic=not train)(x)
-            return depth_to_space(x) if self.unpack_output else x
+            return (depth_to_space(x, factors=factors)
+                    if self.unpack_output else x)
 
         ch = x.shape[-1]
         impl = "auto" if self.conv_impl == "packed" else self.conv_impl
         if self.skip_packed or self.x_packed:
             from ..ops.s2d import depth_to_space
             if self.skip_packed:
-                skip = depth_to_space(skip)
+                skip = depth_to_space(skip, factors=self.packed_factors)
             if self.x_packed:
-                x = depth_to_space(x)
+                x = depth_to_space(x, factors=self.packed_factors)
         residual = x  # up-convolved features, n channels
         x = jnp.concatenate([x, skip], axis=-1)
         for i in range(self.num_convolutions):
@@ -198,6 +208,14 @@ class VNet(nn.Module):
     # levels with >=64 channels already feed the MXU reasonably direct,
     # and packing costs 1.73x FLOPs — lowering the cap trades them
     packed_cap: int = 1024
+    # >0 enables per-level ADAPTIVE packing: each level packs only as many
+    # axes (factor 2, leading axes first) as needed to reach this many
+    # packed channels — e.g. 128 (the MXU lane width) gives 16ch -> pack
+    # all 3 axes (tax 1.73x), 32ch -> 2 axes (1.44x), 64ch -> 1 axis
+    # (1.20x), 128ch+ -> direct 5^r conv (1.0x). Measured 1.14-1.45x
+    # faster per conv at L2-L4 (BENCHMARKS.md exp9). 0 = legacy full
+    # packing at every level under packed_cap.
+    packed_target_lanes: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -211,6 +229,11 @@ class VNet(nn.Module):
         # "auto" selection in every non-direct mode.
         block_impl = "auto" if self.conv_impl == "s2d" else self.conv_impl
         impl = "auto" if block_impl in ("packed", "auto") else "direct"
+        # adaptive mode: a level that is NOT packed has enough channels to
+        # fill the MXU lanes directly — its 5^r convs must stay direct,
+        # not fall back to the per-site "auto" (which would re-pack x8)
+        fallback_impl = ("direct" if self.packed_target_lanes > 0
+                         else block_impl)
 
         # input layer (networks.py:253-266)
         in_ch = x.shape[-1]
@@ -237,20 +260,34 @@ class VNet(nn.Module):
                            name="input_act")(x)
 
         # per-level packed-mode eligibility (conv blocks + their plumbing run
-        # in the s2d domain: skips stay packed, down-convs consume packed)
+        # in the s2d domain: skips stay packed, down-convs consume packed).
+        # Returns (packed?, factors) — factors None means all axes x2;
+        # adaptive mode (packed_target_lanes > 0) packs only enough leading
+        # axes to reach the target lane count.
         def level_packed(spatial, ch, decoder=False):
+            if (block_impl != "packed"
+                    or self.norm not in ("batch", "batch_stats")):
+                return False, None
+            if self.packed_target_lanes > 0:
+                n = 0
+                while (n < rank
+                       and (2 ** n) * ch < self.packed_target_lanes):
+                    n += 1
+                factors = (2,) * n + (1,) * (rank - n)
+                ok = (n >= 1 and all(
+                    s % f == 0 for s, f in zip(spatial, factors)))
+                return (ok, factors if ok else None)
             groups = 2 ** rank
             cap = 2 * self.packed_cap if decoder else self.packed_cap
-            return (block_impl == "packed"
-                    and self.norm in ("batch", "batch_stats")
-                    and all(s % 2 == 0 for s in spatial)
-                    and groups * (2 * ch if decoder else ch) <= cap)
+            ok = (all(s % 2 == 0 for s in spatial)
+                  and groups * (2 * ch if decoder else ch) <= cap)
+            return ok, None
 
         # encoder (networks.py:270-280). x_p tracks whether x is currently
         # in the packed layout of its own grid: down-convs emit the next
         # level's packed layout directly when both sides are packed, so
         # level boundaries cost zero s2d transposes.
-        skips = []          # (tensor, is_packed)
+        skips = []          # (tensor, is_packed, factors)
         x_p = False
         for level in range(self.num_levels):
             if x_p:
@@ -258,18 +295,19 @@ class VNet(nn.Module):
                 ch = x.shape[-1] // (2 ** rank)
             else:
                 spatial, ch = x.shape[1:-1], x.shape[-1]
-            enc_p = level_packed(spatial, ch)
+            enc_p, enc_f = level_packed(spatial, ch)
             if x_p and not enc_p:
                 from ..ops.s2d import depth_to_space
                 x = depth_to_space(x)
                 x_p = False
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
-                          self.param_dtype, block_impl,
+                          self.param_dtype,
+                          block_impl if enc_p else fallback_impl,
                           packed_mode=enc_p, pack_input=not x_p,
-                          unpack_output=not enc_p,
+                          unpack_output=not enc_p, packed_factors=enc_f,
                           name=f"encoder_level_{level + 1}")(x, train)
-            skips.append((x, enc_p))
+            skips.append((x, enc_p, enc_f))
             # NB: DownConv(packed_output=True) — emitting the next level's
             # packed layout directly — measured SLOWER (228 vs 218 ms/step,
             # 4x compile time, BENCHMARKS.md): the wide-tensor s2d +
@@ -277,6 +315,7 @@ class VNet(nn.Module):
             # re-pack narrow tensors instead.
             x = DownConv(2, self.norm, self.activation, self.dtype,
                          self.param_dtype, impl, packed_input=enc_p,
+                         packed_factors=enc_f,
                          name=f"down_{level + 1}")(x, train)
             x_p = False
 
@@ -286,51 +325,65 @@ class VNet(nn.Module):
             bot_ch = x.shape[-1] // (2 ** rank)
         else:
             bot_spatial, bot_ch = x.shape[1:-1], x.shape[-1]
-        bot_p = level_packed(bot_spatial, bot_ch)
+        bot_p, bot_f = level_packed(bot_spatial, bot_ch)
         if x_p and not bot_p:
             from ..ops.s2d import depth_to_space
             x = depth_to_space(x)
             x_p = False
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
-                      self.param_dtype, block_impl, packed_mode=bot_p,
-                      pack_input=not x_p, name="bottom")(x, train)
+                      self.param_dtype,
+                      block_impl if bot_p else fallback_impl,
+                      packed_mode=bot_p,
+                      pack_input=not x_p, packed_factors=bot_f,
+                      name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
         out_packed = False
+        out_factors = None
         for level in reversed(range(self.num_levels)):
             # decide packedness on the up-conv OUTPUT geometry (spatial x2,
             # channels /2) so the transpose conv can emit packed directly
             up_spatial = tuple(2 * s for s in x.shape[1:-1])
             up_ch = x.shape[-1] // 2
-            dec_p = level_packed(up_spatial, up_ch, decoder=True)
+            dec_p, dec_f = level_packed(up_spatial, up_ch, decoder=True)
+            skip, skip_p, skip_f = skips[level]
+            if skip_p and dec_p:
+                # same channels + spatial => identical per-level factors;
+                # the flat packed concat relies on it
+                assert skip_f == dec_f, (skip_f, dec_f)
             x = UpConv(2, self.norm, self.activation, self.dtype,
                        self.param_dtype, impl, packed_output=dec_p,
+                       packed_factors=dec_f,
                        name=f"up_{level + 1}")(x, train)
-            skip, skip_p = skips[level]
             keep_packed = dec_p and level == 0  # feed the output conv packed
             x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
-                                 self.dtype, self.param_dtype, block_impl,
+                                 self.dtype, self.param_dtype,
+                                 block_impl if dec_p else fallback_impl,
                                  packed_mode=dec_p, skip_packed=skip_p,
                                  x_packed=dec_p,
                                  unpack_output=not keep_packed,
+                                 packed_factors=dec_f if dec_p else skip_f,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skip, train)
             if level == 0:
                 out_packed = keep_packed
+                out_factors = dec_f
 
         # output layer (networks.py:298-303): 1^r conv (+ post-logit norm,
         # reproduced behind a flag since it is unusual but affects parity);
         # the pointwise conv and norm run packed when the decoder ends packed
+        from ..ops.s2d import prod_factors
+        out_groups = (prod_factors(out_factors) if out_factors
+                      else 2 ** rank) if out_packed else 1
         logits = conv(self.num_classes, 1, rank, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="output_conv",
-                      packed=out_packed)(x)
+                      packed=out_packed, packed_factors=out_factors)(x)
         if self.output_norm:
             logits = Norm(self.norm, self.dtype, self.param_dtype,
-                          (2 ** rank) if out_packed else 1,
-                          name="output_norm")(logits, train)
+                          out_groups, name="output_norm")(logits, train)
         if out_packed:
             from ..ops.s2d import depth_to_space
-            logits = depth_to_space(logits)
+            logits = depth_to_space(logits, factors=out_factors)
         return logits.astype(jnp.float32)

@@ -21,6 +21,15 @@ Works for any odd kernel size k on even-sized inputs; the packed kernel is
 ceil((k+1)/2)+... computed below (k=5 -> 3, k=3 -> 2? no: k=3 -> taps
 dx+u in [-1,2] -> a in {-1,0,1} -> 3). General packed size = number of
 distinct floor((d+u)/2) for u in [-(k//2), k//2], d in {0,1}.
+
+Per-axis packing (``factors``): every function takes an optional tuple of
+per-axis factors (1 = leave the axis unpacked, 2 = pack it); ``None``
+means pack all axes (the historical behavior). Deeper V-Net levels only
+need enough packing to fill the MXU's 128 lanes, and each unpacked axis
+cuts the packing FLOP tax: at k=5, full 3D packing costs 1.728x the
+original FLOPs, (2,2,1) costs 1.44x, (2,1,1) costs 1.20x (measured
+1.14x/1.30x faster per fwd+bwd conv at L2/L3 shapes on v5e — BENCHMARKS
+exp9). The transform stays exact for every factor combination.
 """
 
 from __future__ import annotations
@@ -33,55 +42,100 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def space_to_depth(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """(B, *spatial, C) -> (B, *spatial/f, f^rank * C).
+def _norm_factors(factors, rank: int) -> Tuple[int, ...]:
+    if factors is None:
+        return (2,) * rank
+    factors = tuple(int(f) for f in factors)
+    assert len(factors) == rank and all(f in (1, 2) for f in factors), factors
+    return factors
+
+
+def prod_factors(factors) -> int:
+    g = 1
+    for f in factors:
+        g *= f
+    return g
+
+
+def space_to_depth(x: jnp.ndarray, factor: int = 2,
+                   factors=None) -> jnp.ndarray:
+    """(B, *spatial, C) -> (B, *spatial/f, prod(factors) * C).
 
     Channel layout: offset-major — packed channel = offset_index * C + c
-    where offset_index enumerates the f^rank sub-grid offsets in
-    lexicographic order.
+    where offset_index enumerates the packed-axis sub-grid offsets in
+    lexicographic (axis-order) order. ``factors`` selects per-axis packing
+    (1 = skip the axis); default packs every axis by ``factor``.
     """
     b = x.shape[0]
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     rank = len(spatial)
-    f = factor
-    # reshape each spatial dim s -> (s/f, f)
+    if factors is None:
+        factors = (factor,) * rank
+    factors = _norm_factors(factors, rank)
+    if all(f == 1 for f in factors):
+        return x
+    # reshape each packed spatial dim s -> (s/f, f)
     new_shape = (b,)
-    for s in spatial:
+    off_dims = []  # positions of the per-axis offset dims in new_shape
+    pos = 1
+    for s, f in zip(spatial, factors):
         assert s % f == 0, f"spatial dim {s} not divisible by {f}"
-        new_shape += (s // f, f)
+        if f == 1:
+            new_shape += (s,)
+            pos += 1
+        else:
+            new_shape += (s // f, f)
+            off_dims.append(pos + 1)
+            pos += 2
     new_shape += (c,)
     y = x.reshape(new_shape)
-    # move the f-dims next to channels: (B, s1/f, s2/f, ..., f, f, ..., C)
-    perm = [0] + [1 + 2 * i for i in range(rank)] \
-        + [2 + 2 * i for i in range(rank)] + [1 + 2 * rank]
+    # move the f-dims next to channels, preserving axis order
+    spatial_dims = [d for d in range(1, pos) if d not in off_dims]
+    perm = [0] + spatial_dims + off_dims + [pos]
     y = jnp.transpose(y, perm)
-    out_spatial = tuple(s // f for s in spatial)
-    return y.reshape((b,) + out_spatial + (f ** rank * c,))
+    out_spatial = tuple(s // f for s, f in zip(spatial, factors))
+    return y.reshape((b,) + out_spatial + (prod_factors(factors) * c,))
 
 
-def depth_to_space(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+def depth_to_space(x: jnp.ndarray, factor: int = 2,
+                   factors=None) -> jnp.ndarray:
     """Inverse of :func:`space_to_depth`."""
     b = x.shape[0]
     spatial = x.shape[1:-1]
     rank = len(spatial)
-    f = factor
-    c = x.shape[-1] // (f ** rank)
-    y = x.reshape((b,) + spatial + (f,) * rank + (c,))
-    # interleave back: (B, s1/f, f, s2/f, f, ..., C)
+    if factors is None:
+        factors = (factor,) * rank
+    factors = _norm_factors(factors, rank)
+    g = prod_factors(factors)
+    if g == 1:
+        return x
+    c = x.shape[-1] // g
+    packed_axes = [i for i, f in enumerate(factors) if f == 2]
+    y = x.reshape((b,) + spatial + (2,) * len(packed_axes) + (c,))
+    # interleave back: each packed axis gets its offset dim to its right
     perm = [0]
     for i in range(rank):
-        perm += [1 + i, 1 + rank + i]
-    perm += [1 + 2 * rank]
+        perm.append(1 + i)
+        if i in packed_axes:
+            perm.append(1 + rank + packed_axes.index(i))
+    perm.append(1 + rank + len(packed_axes))
     y = jnp.transpose(y, perm)
-    return y.reshape((b,) + tuple(s * f for s in spatial) + (c,))
+    return y.reshape(
+        (b,) + tuple(s * f for s, f in zip(spatial, factors)) + (c,))
 
 
 @lru_cache(maxsize=None)
-def _packing_plan(k: int, rank: int) -> Tuple[int, tuple]:
-    """Per-axis plan: packed kernel extent kp and the list of
-    (packed_tap a+A, in_offset e, out_offset d, orig_tap u+k//2) tuples."""
+def _packing_plan(k: int, factor: int = 2) -> Tuple[int, int, tuple]:
+    """Per-axis plan for one spatial axis.
+
+    Returns (kp, a_min, entries) — packed kernel extent, the tap shift,
+    and (packed_tap a-a_min, in_offset e, out_offset d, orig_tap u+k//2)
+    tuples. ``factor == 1`` is the identity plan (axis left unpacked)."""
     h = k // 2
+    if factor == 1:
+        entries = tuple((u + h, 0, 0, u + h) for u in range(-h, h + 1))
+        return k, -h, entries
     entries = []
     a_vals = set()
     for d in (0, 1):
@@ -93,43 +147,56 @@ def _packing_plan(k: int, rank: int) -> Tuple[int, tuple]:
     kp = a_max - a_min + 1
     # shift packed taps to start at 0
     entries = tuple((a - a_min, e, d, t) for a, e, d, t in entries)
-    return kp, entries
+    return kp, a_min, entries
 
 
 @lru_cache(maxsize=None)
-def _pack_maps(k: int, rank: int) -> Tuple[np.ndarray, np.ndarray]:
+def _pack_maps(k: int, rank: int,
+               factors=None) -> Tuple[tuple, np.ndarray, np.ndarray]:
     """Constant gather map for :func:`pack_kernel`.
 
-    Returns (tap_index, mask), both shaped (kp^rank, 2^rank, 2^rank):
-    for packed tap position a, input sub-grid offset e, output sub-grid
-    offset d — the flat original tap index (or 0) and its validity.
-    """
+    Returns (kp_per_axis, tap_index, mask); the arrays are shaped
+    (prod(kp), G, G) with G = prod(factors): for packed tap position a,
+    input sub-grid offset e, output sub-grid offset d — the flat original
+    tap index (or 0) and its validity. Offsets are mixed-radix over the
+    packed axes in axis order (matching :func:`space_to_depth`)."""
     import itertools
 
-    kp, entries = _packing_plan(k, rank)
-    n_off = 2 ** rank
-    tap_index = np.zeros((kp ** rank, n_off, n_off), np.int32)
-    mask = np.zeros((kp ** rank, n_off, n_off), bool)
-    idx_of = lambda offs: int("".join(str(o) for o in offs), 2)
+    factors = _norm_factors(factors, rank)
+    plans = [_packing_plan(k, f) for f in factors]
+    kps = tuple(p[0] for p in plans)
+    n_off = prod_factors(factors)
+    n_a = int(np.prod(kps))
+    tap_index = np.zeros((n_a, n_off, n_off), np.int32)
+    mask = np.zeros((n_a, n_off, n_off), bool)
 
-    for axis_entries in itertools.product(entries, repeat=rank):
+    def idx_of(offs):
+        v = 0
+        for o, f in zip(offs, factors):
+            v = v * f + o
+        return v
+
+    for axis_entries in itertools.product(
+            *[p[2] for p in plans]):
         a = tuple(e[0] for e in axis_entries)
         e_off = tuple(e[1] for e in axis_entries)
         d_off = tuple(e[2] for e in axis_entries)
         taps = tuple(e[3] for e in axis_entries)
         a_flat = 0
         t_flat = 0
-        for ai, ti in zip(a, taps):
-            a_flat = a_flat * kp + ai
+        for ai, kpi, ti in zip(a, kps, taps):
+            a_flat = a_flat * kpi + ai
             t_flat = t_flat * k + ti
         tap_index[a_flat, idx_of(e_off), idx_of(d_off)] = t_flat
         mask[a_flat, idx_of(e_off), idx_of(d_off)] = True
-    return tap_index, mask
+    return kps, tap_index, mask
 
 
 def pack_kernel(kernel: jnp.ndarray, factor: int = 2,
-                input_splits=None) -> jnp.ndarray:
-    """(k,...,k, Cin, Cout) -> packed (kp,...,kp, 8Cin, 8Cout) kernel.
+                input_splits=None, factors=None) -> jnp.ndarray:
+    """(k,...,k, Cin, Cout) -> packed (kp...,  G*Cin, G*Cout) kernel,
+    G = prod(factors); per-axis kp = 3 for k=5 on packed axes, k on
+    unpacked axes.
 
     Channel layout matches :func:`space_to_depth` (offset-major).
     Differentiable: implemented as a constant-index gather + mask.
@@ -144,15 +211,16 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2,
     rank = kernel.ndim - 2
     k = kernel.shape[0]
     cin, cout = kernel.shape[-2], kernel.shape[-1]
-    kp, _ = _packing_plan(k, rank)
-    n_off = 2 ** rank
+    factors = _norm_factors(factors, rank)
+    n_off = prod_factors(factors)
 
-    tap_index, mask = _pack_maps(k, rank)
+    kps, tap_index, mask = _pack_maps(k, rank, factors)
+    n_a = int(np.prod(kps))
     taps = kernel.reshape(k ** rank, cin, cout)
-    # (kp^rank, E, D, cin, cout)
+    # (prod(kp), E, D, cin, cout)
     gathered = taps[tap_index]
     gathered = jnp.where(jnp.asarray(mask)[..., None, None], gathered, 0)
-    # -> (kp^rank, E, cin, D, cout)
+    # -> (prod(kp), E, cin, D, cout)
     packed = jnp.transpose(gathered, (0, 1, 3, 2, 4))
     if input_splits is not None:
         assert sum(input_splits) == cin, (input_splits, cin)
@@ -161,21 +229,29 @@ def pack_kernel(kernel: jnp.ndarray, factor: int = 2,
         off = 0
         for cb in input_splits:
             blk = packed[:, :, off:off + cb]  # (a, E, cb, D, cout)
-            blocks.append(blk.reshape(kp ** rank, n_off * cb,
-                                      n_off, cout))
+            blocks.append(blk.reshape(n_a, n_off * cb, n_off, cout))
             off += cb
         packed = jnp.concatenate(blocks, axis=1)
-        packed = packed.reshape((kp,) * rank + (n_off * cin, n_off * cout))
+        packed = packed.reshape(kps + (n_off * cin, n_off * cout))
         return packed.astype(kernel.dtype)
-    packed = packed.reshape((kp,) * rank + (n_off * cin, n_off * cout))
+    packed = packed.reshape(kps + (n_off * cin, n_off * cout))
     return packed.astype(kernel.dtype)
+
+
+def packed_pads(k: int, factors) -> list:
+    """Per-axis (lo, hi) SAME padding in the packed domain."""
+    pads = []
+    for f in factors:
+        kp, a_min, _ = _packing_plan(k, f)
+        pads.append((-a_min, a_min + kp - 1))
+    return pads
 
 
 def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                 preferred_element_type=None, halo=None,
-                input_splits=None) -> jnp.ndarray:
+                input_splits=None, factors=None) -> jnp.ndarray:
     """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
-    without the transposes. ``xp`` is ``(B, *spatial/2, 2^r * Cin)``
+    without the transposes. ``xp`` is ``(B, *spatial/f, G * Cin)``
     offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
 
     ``halo=(axis_name, spatial_axis)``: the packed tensor is a local shard
@@ -189,18 +265,14 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
     rank = kernel.ndim - 2
     k = kernel.shape[0]
     assert k % 2 == 1
-    kp, _ = _packing_plan(k, rank)
-    packed = pack_kernel(kernel, input_splits=input_splits)
-    h = k // 2
-    a_min = min(divmod(d + u, 2)[0] for d in (0, 1)
-                for u in range(-h, h + 1))
-    a_max = a_min + kp - 1
-    pad = (-a_min, a_max)
-    pads = [pad] * rank
+    factors = _norm_factors(factors, rank)
+    packed = pack_kernel(kernel, input_splits=input_splits, factors=factors)
+    pads = packed_pads(k, factors)
     if halo is not None:
         from ..parallel.spatial import halo_exchange_asym
         axis_name, sp_axis = halo
-        xp = halo_exchange_asym(xp, pad[0], pad[1], axis_name, 1 + sp_axis)
+        lo, hi = pads[sp_axis]
+        xp = halo_exchange_asym(xp, lo, hi, axis_name, 1 + sp_axis)
         pads[sp_axis] = (0, 0)
     return jax.lax.conv_general_dilated(
         xp, packed, (1,) * rank, pads,
@@ -209,21 +281,35 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
 
 
 def packed_down_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
-                     keep_packed: bool = False) -> jnp.ndarray:
+                     keep_packed: bool = False,
+                     factors=None) -> jnp.ndarray:
     """Down-convolution consuming a packed input directly: the stride-2
     2^r conv is one matmul over the packed channels; output is UNPACKED on
     the half-resolution grid.
 
-    ``keep_packed=True`` emits the NEXT level's packed layout instead:
-    each stride-2 output voxel is one packed input voxel, so packing the
-    half-res output = space-to-depth of ``xp`` itself (a transpose on the
-    full 2^r*Cin-wide tensor, which XLA tiles as (8,128) instead of the
-    narrow-channel (2,128) tiles of packing the unpacked output) followed
-    by the same matmul applied per offset group.
+    ``factors``: the input's per-axis packing. Axes packed with factor 1
+    are completed to full 2^r packing first (a narrow transpose), then the
+    matmul's kernel rows are permuted to the (e_unpacked, e_packed, cin)
+    channel order that completion produces.
+
+    ``keep_packed=True`` (full factors only) emits the NEXT level's packed
+    layout instead: each stride-2 output voxel is one packed input voxel,
+    so packing the half-res output = space-to-depth of ``xp`` itself
+    followed by the same matmul applied per offset group.
     """
     rank = kernel.ndim - 2
     assert all(kernel.shape[i] == 2 for i in range(rank))
     cin, cout = kernel.shape[-2], kernel.shape[-1]
+    factors = _norm_factors(factors, rank)
+    if any(f == 1 for f in factors):
+        assert not keep_packed
+        # complete the packing on the unpacked axes; their offsets land
+        # channel-major, so permute the kernel's tap axes to match
+        comp = tuple(2 if f == 1 else 1 for f in factors)
+        xp = space_to_depth(xp, factors=comp)
+        u_axes = [i for i, f in enumerate(factors) if f == 1]
+        p_axes = [i for i, f in enumerate(factors) if f == 2]
+        kernel = jnp.transpose(kernel, u_axes + p_axes + [rank, rank + 1])
     K = kernel.reshape(2 ** rank * cin, cout)
     if not keep_packed:
         return jnp.einsum("...i,io->...o", xp, K).astype(xp.dtype)
@@ -257,19 +343,39 @@ def s2d_down_conv(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def s2d_up_conv(x: jnp.ndarray, kernel: jnp.ndarray,
-                keep_packed: bool = False) -> jnp.ndarray:
+                keep_packed: bool = False,
+                out_factors=None) -> jnp.ndarray:
     """Stride-2 2^r transpose conv == matmul + depth-to-space.
 
     ``lax.conv_transpose(x, k, strides=2, SAME)`` writes each output voxel
     ``2i + d`` from exactly one input voxel ``i`` with tap ``k[d]``:
     ``y = d2s(x @ K)`` with ``K[cin, (d, cout)] = kernel[d..., cin, cout]``
     (`layers2.py:88-94` semantics).
+
+    ``keep_packed=True``: return the output in its packed layout instead
+    of interleaving; ``out_factors`` selects WHICH axes stay packed
+    (default: all). The kernel's tap axes are ordered
+    (d_unpacked, d_packed, cout) so the partial depth-to-space leaves
+    exactly the target offset-major channels.
     """
     rank = kernel.ndim - 2
     assert all(kernel.shape[i] == 2 for i in range(rank))
     cin, cout = kernel.shape[-2], kernel.shape[-1]
     # conv_transpose writes the FLIPPED kernel: y[2i+d] = k[1-d] * x[i]
     kernel = jnp.flip(kernel, axis=tuple(range(rank)))
+    if keep_packed and out_factors is not None:
+        out_factors = _norm_factors(out_factors, rank)
+        if any(f == 1 for f in out_factors):
+            u_axes = [i for i, f in enumerate(out_factors) if f == 1]
+            p_axes = [i for i, f in enumerate(out_factors) if f == 2]
+            # columns (d_u, d_p, cout): partial d2s consumes d_u spatially
+            kernel = jnp.transpose(kernel,
+                                   u_axes + p_axes + [rank, rank + 1])
+            K = jnp.moveaxis(kernel.reshape(2 ** rank, cin, cout), 1, 0)
+            K = K.reshape(cin, 2 ** rank * cout)
+            y = jnp.einsum("...i,io->...o", x, K).astype(x.dtype)
+            comp = tuple(2 if f == 1 else 1 for f in out_factors)
+            return depth_to_space(y, factors=comp)
     # (2,..,2, cin, cout) -> (cin, (d, cout))
     K = jnp.moveaxis(kernel.reshape(2 ** rank, cin, cout), 1, 0)
     K = K.reshape(cin, 2 ** rank * cout)
