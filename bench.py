@@ -7,9 +7,11 @@ Metric matches BASELINE.json: training patches/sec/chip at 64^3 on the
 reference network configuration (V-Net, 16 channels, 4 levels, convs
 (1,2,3,3), bottom 3, PReLU, batch norm, Adam + weighted sorensen —
 configs/config.json:18-46 of the reference). Runs the optimized production
-path: packed space-to-depth convs, bf16 compute, rbg dropout keys, and a
-3-step lax.scan per dispatch at batch 96 (the Trainer's ScanSteps mode;
-measured optimum of the b{32,64,96,128} x k{1,..,4} sweep — BENCHMARKS.md).
+path: adaptive per-level space-to-depth packing (packed_target_lanes=128:
+each level packs only enough axes to fill the MXU's 128 lanes, cutting
+the packing FLOP tax at deep levels — BENCHMARKS.md exp9/exp11), bf16
+compute, rbg dropout keys, and a 4-step lax.scan per dispatch at batch 96
+(the Trainer's ScanSteps mode; measured optimum of the batch/scan sweep).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
 ratio is computed against REFERENCE_TF1_PATCHES_PER_SEC — a documented
@@ -40,14 +42,15 @@ def main():
 
     patch = (64, 64, 64)
     batch = 96
-    scan_k = 3
+    scan_k = 4
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
     model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
-                 dtype=jnp.bfloat16, conv_impl="packed")
+                 dtype=jnp.bfloat16, conv_impl="packed",
+                 packed_target_lanes=128)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)

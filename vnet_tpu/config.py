@@ -53,6 +53,11 @@ class NetworkConfig:
     bottom_convolutions: int = 3
     attention: bool = False
     norm: str = "batch"
+    # adaptive per-level space-to-depth packing: pack each level with the
+    # fewest axes reaching this many packed channels (128 = the MXU lane
+    # width — the measured optimum, BENCHMARKS.md exp11). 0 = legacy full
+    # packing. Exact rewrite either way; checkpoints interchange.
+    packed_target_lanes: int = 128
 
 
 @dataclass
@@ -174,6 +179,7 @@ def _network_config(tree: dict) -> NetworkConfig:
         bottom_convolutions=int(net.get("BottomConvolutions", 3)),
         attention=bool(net.get("Attention", False)),
         norm=net.get("Norm", "batch"),
+        packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
     )
 
 

@@ -52,7 +52,8 @@ class Evaluator:
             num_channels=net_cfg.num_channel, num_levels=net_cfg.num_levels,
             num_convolutions=net_cfg.num_convolutions,
             bottom_convolutions=net_cfg.bottom_convolutions,
-            norm=net_cfg.norm, dtype=dtype)
+            norm=net_cfg.norm,
+            packed_target_lanes=net_cfg.packed_target_lanes, dtype=dtype)
 
         if state is not None:
             self.variables = {"params": state.params,

@@ -26,7 +26,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_channels: int = 16, num_levels: int = 4,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
                   activation: str = None, norm: str = "batch", dtype=None,
-                  conv_impl: str = "packed"):
+                  conv_impl: str = "packed", packed_target_lanes: int = 128):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -55,13 +55,15 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             num_levels=num_levels, num_convolutions=tuple(num_convolutions),
             bottom_convolutions=bottom_convolutions,
             dropout_rate=dropout_rate, activation=activation or "prelu",
-            norm=norm, dtype=dtype, conv_impl=conv_impl)
+            norm=norm, dtype=dtype, conv_impl=conv_impl,
+            packed_target_lanes=packed_target_lanes)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),
                 bottom_convolutions=bottom_convolutions,
                 dropout_rate=dropout_rate, activation=activation or "prelu",
-                norm=norm, dtype=dtype, conv_impl=conv_impl)
+                norm=norm, dtype=dtype, conv_impl=conv_impl,
+                packed_target_lanes=packed_target_lanes)
 
 
 __all__ = [

@@ -149,6 +149,7 @@ class AttentionGatedVNet(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
+    packed_target_lanes: int = 0  # see VNet.packed_target_lanes
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -164,6 +165,7 @@ class AttentionGatedVNet(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             conv_impl=self.conv_impl,
+            packed_target_lanes=self.packed_target_lanes,
             name="vnet")
         logits_vnet = backbone(x, train)
 

@@ -178,7 +178,8 @@ class Trainer:
             num_levels=net_cfg.num_levels,
             num_convolutions=net_cfg.num_convolutions,
             bottom_convolutions=net_cfg.bottom_convolutions,
-            norm=net_cfg.norm, dtype=self.dtype)
+            norm=net_cfg.norm,
+            packed_target_lanes=net_cfg.packed_target_lanes, dtype=self.dtype)
 
         self.tx, self.lr_schedule = build_optimizer(self.t.optimizer)
         self._train_step_fn = None
