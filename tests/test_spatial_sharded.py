@@ -19,11 +19,12 @@ from vnet_tpu.parallel.spatial import (spatial_sharded_forward,
 
 
 def _forward_pair(norm, conv_impl, spatial_axis, vol_shape, num_levels=2,
-                  shards=4):
+                  shards=4, num_channels=4, lanes=0):
     net = build_network(
-        "VNet", num_classes=2, dropout_rate=0.0, num_channels=4,
+        "VNet", num_classes=2, dropout_rate=0.0, num_channels=num_channels,
         num_levels=num_levels, num_convolutions=(1,) * num_levels,
-        bottom_convolutions=1, norm=norm, conv_impl=conv_impl)
+        bottom_convolutions=1, norm=norm, conv_impl=conv_impl,
+        packed_target_lanes=lanes)
     rng = jax.random.PRNGKey(0)
     vol = jax.random.normal(jax.random.PRNGKey(1), vol_shape, jnp.float32)
     variables = net.init({"params": rng, "dropout": rng}, vol[None],
@@ -72,3 +73,15 @@ def test_partition_validation():
     with pytest.raises(ValueError):  # bottom shard smaller than the halo
         validate_partition((16, 8, 8, 1), 0, shards=4, num_levels=2)
     validate_partition((32, 8, 8, 1), 0, shards=4, num_levels=2)
+
+
+@pytest.mark.parametrize("spatial_axis", [0, 2])
+def test_adaptive_packing_sharded_forward_matches(spatial_axis):
+    # adaptive per-axis factors: 16ch packs all axes, 32ch level packs 2 —
+    # the halo exchange must use the UNPACKED pad (k//2) on axes the level
+    # leaves at factor 1 (ops/s2d.py::packed_pads)
+    shape = [8, 8, 8, 1]
+    shape[spatial_axis] = 32
+    ref, out = _forward_pair("batch", "packed", spatial_axis, tuple(shape),
+                             num_channels=16, lanes=64)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
