@@ -264,3 +264,25 @@ def test_empty_test_loader_disables_inline_testing(tmp_path, rng, capsys):
     state = trainer.train()
     assert int(state.step) == 2
     assert "disabling inline testing" in capsys.readouterr().out
+
+
+def test_train_raises_when_batch_exceeds_cases(tmp_path, rng):
+    # drop_remainder + cases < BatchSize must fail loudly, not silently
+    # train nothing (found by an end-to-end run that "trained" an
+    # untrained model)
+    cpath = write_config(tmp_path, rng, batch_size=8, num_cases=2,
+                         max_iterations=3)
+    cfg = load_config(cpath)
+    with pytest.raises(ValueError, match="no batches"):
+        Trainer(cfg, log=False).train()
+
+
+def test_scan_buffer_carries_across_epochs(tmp_path, rng):
+    # ScanSteps=2 with 1 batch/epoch: the scan group fills across epochs;
+    # a per-epoch buffer would silently drop every batch and never step
+    cpath = write_config(tmp_path, rng, batch_size=2, num_cases=2,
+                         max_iterations=4, ScanSteps=2, Epoches=8)
+    cfg = load_config(cpath)
+    assert cfg.train.scan_steps == 2
+    state = Trainer(cfg, log=False).train()
+    assert int(state.step) >= 2

@@ -442,15 +442,20 @@ class Trainer:
         limit = t.max_iterations if max_steps is None else max_steps
 
         start_epoch = int(state.epoch)
+        # the scan buffer carries ACROSS epochs: with few batches per epoch
+        # a per-epoch buffer would silently drop every partial group and
+        # train nothing while appearing to run
+        scan_k = self.t.scan_steps if not self.is_attention else 1
+        scan_buf = []
         for epoch in range(start_epoch, t.epochs):
             epoch_loss, count = 0.0, 0
             t0 = time.time()
             step = int(state.step)
             pending = None  # (step, out) logged one step late so the host
             # fetch overlaps the next step's device execution
-            scan_k = self.t.scan_steps if not self.is_attention else 1
-            scan_buf = []
+            epoch_batches = 0
             for batch in train_loader.epoch():
+                epoch_batches += 1
                 images, labels, *rest = batch
                 dmaps = rest[0] if rest else None
                 if step >= limit:
@@ -514,6 +519,14 @@ class Trainer:
                             self._log_images("test", step, state, timages,
                                              tlabels)
 
+            if epoch_batches == 0:
+                # drop_remainder + cases < BatchSize would otherwise spin
+                # through every epoch training NOTHING — fail loudly
+                raise ValueError(
+                    "Training dataset yields no batches: fewer cases than "
+                    f"BatchSize={t.batch_size} with drop_remainder (the "
+                    "reference's tf.data semantics). Lower BatchSize or add "
+                    "training cases.")
             if pending is not None:
                 epoch_loss += self._log_scalars("train", *pending)
                 count += 1
