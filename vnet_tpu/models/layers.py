@@ -385,8 +385,12 @@ class SpatialConv(nn.Module):
         strides = tuple(self.strides) if self.strides else (1,) * rank
         uniform_k = len(set(k)) == 1
         even_spatial = all(s % 2 == 0 for s in x.shape[1:-1])
+        # auto-s2d only for k >= 5: the packed rewrite of a 3^r kernel
+        # still needs 3^r packed taps, an 8x FLOP tax (vs 1.73x for 5^r)
+        # that the ~8x lane-utilization gain merely breaks even on at
+        # best — a net loss for >=32-channel 3^r convs (UNet blocks)
         can_s2d = (
-            uniform_k and k[0] % 2 == 1 and k[0] >= 3
+            uniform_k and k[0] % 2 == 1 and k[0] >= 5
             and strides == (1,) * rank
             and even_spatial
             and (2 ** rank) * max(in_features, self.features) <= 1024
