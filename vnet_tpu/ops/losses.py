@@ -6,7 +6,12 @@ Behavioral parity targets (all verified against hand-computed values in
 * ``dice_coe`` — soft Sørensen/Jaccard dice with optional per-class weights
   and ``smooth=1e-5``, matching `/root/reference/model.py:26-85` including
   the weighted branch's ``sum(2*w*inse + s) / sum(w*(l+r) + s)`` form
-  (`model.py:73-75`).
+  (`model.py:73-75`). NB this form weights the SUMMED numerators and
+  denominators, not the per-class dice scores: with extreme class
+  imbalance the background's large intersection still dominates unless
+  its weight is ~(foreground fraction) small — e.g. weights [0.1, 1] on
+  a 0.1%-foreground task leave the loss ~insensitive to the foreground
+  (observed in an end-to-end run; weight background accordingly).
 * ``weighted_softmax_cross_entropy`` — per-voxel class-weighted xent,
   `/root/reference/model.py:87-92`.
 * ``segmentation_loss`` — the 10-way string dispatch of
