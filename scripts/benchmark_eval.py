@@ -5,7 +5,7 @@ Methodology notes (BENCHMARKS.md): the volume is made device-resident
 before timing (host->device transfer is hardware-/tunnel-dependent and
 reported separately), and sync is a scalar host fetch.
 
-    python scripts/benchmark_eval.py [--size 512] [--stride 64] [--batch 32]
+    python scripts/benchmark_eval.py [--size 512] [--stride 64] [--batch 128]
 """
 
 from __future__ import annotations
@@ -24,7 +24,7 @@ def main():
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--patch", type=int, default=64)
     p.add_argument("--stride", type=int, default=64)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=128)
     p.add_argument("--classes", type=int, default=3)
     p.add_argument("--gaussian", action="store_true")
     p.add_argument("--reps", type=int, default=3)
@@ -40,7 +40,8 @@ def main():
     model = VNet(num_classes=args.classes, num_channels=16, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.0, activation="prelu", norm="batch",
-                 dtype=jnp.bfloat16, conv_impl="packed")
+                 dtype=jnp.bfloat16, conv_impl="packed",
+                 packed_target_lanes=128)
     x0 = jnp.zeros((1, args.patch, args.patch, args.patch, 1), jnp.float32)
     rng = jax.random.PRNGKey(0)
     vs = model.init({"params": rng, "dropout": rng}, x0, train=True)
