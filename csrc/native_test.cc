@@ -264,6 +264,34 @@ static int TestPjrtExecutorRetry() {
   return 0;
 }
 
+// Deterministic failures (e.g. INVALID_ARGUMENT) must NOT be retried:
+// with a single injected failure carrying code 3, a retry would succeed —
+// so Run throwing proves the error propagated on the first attempt.
+static int TestPjrtExecutorNoRetryOnDeterministicError() {
+  std::vector<vnet::PjrtExecutor::Option> options(2);
+  options[0].name = "stub_fail_executes";
+  options[0].int_value = 1;
+  options[1].name = "stub_fail_code";
+  options[1].int_value = 3;  // PJRT_Error_Code_INVALID_ARGUMENT
+  vnet::PjrtExecutor exec(STUB_PJRT_PLUGIN, "stub", options);
+  std::vector<float> input = {127.5f};
+  bool threw = false;
+  try {
+    exec.Run(input, {1, 1, 1, 1, 1});
+  } catch (const vnet::PjrtError& e) {
+    threw = true;
+    CHECK(e.code() == 3);
+    CHECK(!e.transient());
+  }
+  CHECK(threw);
+  // same injection with a transient code IS retried and succeeds
+  options[1].int_value = 14;  // UNAVAILABLE
+  vnet::PjrtExecutor exec2(STUB_PJRT_PLUGIN, "stub", options);
+  std::vector<float> probs = exec2.Run(input, {1, 1, 1, 1, 1});
+  CHECK(probs.size() == 2);
+  return 0;
+}
+
 // Batch bucketing: a 5-patch request through an executable compiled for
 // batch 2 (3 chunks, padded tail), validated against direct math.
 static int TestPjrtExecutorBatchBucketing() {
@@ -377,6 +405,7 @@ int main() {
 #ifdef STUB_PJRT_PLUGIN
   failures += TestPjrtExecutorAgainstStub();
   failures += TestPjrtExecutorRetry();
+  failures += TestPjrtExecutorNoRetryOnDeterministicError();
   failures += TestPjrtExecutorBatchBucketing();
   failures += TestPjrtExecutorStagedInput();
   failures += TestPjrtExecutorPipelinedRetry();

@@ -27,10 +27,32 @@ std::string ErrorMessage(const PJRT_Api* api, PJRT_Error* error) {
   return message;
 }
 
+int ErrorCode(const PJRT_Api* api, PJRT_Error* error) {
+  if (api->PJRT_Error_GetCode == nullptr) {
+    return 2;  // UNKNOWN — old plugins without GetCode stay retryable
+  }
+  PJRT_Error_GetCode_Args args;
+  std::memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Error_GetCode_Args_STRUCT_SIZE;
+  args.error = error;
+  PJRT_Error* err = api->PJRT_Error_GetCode(&args);
+  if (err != nullptr) {
+    PJRT_Error_Destroy_Args dargs;
+    std::memset(&dargs, 0, sizeof(dargs));
+    dargs.struct_size = PJRT_Error_Destroy_Args_STRUCT_SIZE;
+    dargs.error = err;
+    api->PJRT_Error_Destroy(&dargs);
+    return 2;
+  }
+  return static_cast<int>(args.code);
+}
+
 void Check(const PJRT_Api* api, PJRT_Error* error, const char* what) {
   if (error != nullptr) {
-    throw std::runtime_error(std::string(what) + ": " +
-                             ErrorMessage(api, error));
+    // read the code first: ErrorMessage destroys the error object
+    int code = ErrorCode(api, error);
+    throw PjrtError(std::string(what) + ": " + ErrorMessage(api, error),
+                    code);
   }
 }
 
@@ -208,8 +230,11 @@ std::vector<float> PjrtExecutor::Run(const std::vector<float>& input,
   for (int attempt = 1;; ++attempt) {
     try {
       return RunOnce(input, dims, out_dims);
-    } catch (const std::exception& e) {
-      if (attempt >= max_attempts) throw;
+    } catch (const PjrtError& e) {
+      // retry only plausibly-transient PJRT failures; deterministic
+      // contract errors (and non-PJRT exceptions) propagate immediately
+      // so the first diagnostic is not buried behind retry noise
+      if (!e.transient() || attempt >= max_attempts) throw;
       std::fprintf(stderr,
                    "PjrtExecutor: attempt %d/%d failed (%s); retrying\n",
                    attempt, max_attempts, e.what());
@@ -385,7 +410,8 @@ Executor PjrtExecutor::AsExecutor(int64_t compiled_batch) {
     auto exec_chunk = [&](StagedInput staged, int slot) {
       try {
         return ExecuteStaged(std::move(staged));
-      } catch (const std::exception& e) {
+      } catch (const PjrtError& e) {
+        if (!e.transient()) throw;
         std::fprintf(stderr,
                      "PjrtExecutor: staged execute failed (%s); retrying\n",
                      e.what());

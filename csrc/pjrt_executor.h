@@ -9,12 +9,47 @@
 #include <array>
 #include <cstdint>
 #include <memory>
+#include <stdexcept>
 #include <string>
 #include <vector>
 
 #include "inference_client.h"
 
 namespace vnet {
+
+// Typed PJRT failure carrying the absl status code (PJRT_Error_Code), so
+// callers can distinguish plausibly-transient failures (worth retrying)
+// from deterministic contract errors (wrong buffer size, invalid dims)
+// that must surface immediately.
+class PjrtError : public std::runtime_error {
+ public:
+  PjrtError(const std::string& msg, int code)
+      : std::runtime_error(msg), code_(code) {}
+  int code() const { return code_; }
+  // True for codes that can legitimately succeed on retry. The documented
+  // transient failure on this platform is FAILED_PRECONDITION on large
+  // H2D transfers; UNAVAILABLE/ABORTED/DEADLINE_EXCEEDED etc. are the
+  // usual runtime-state codes. INVALID_ARGUMENT, NOT_FOUND, OUT_OF_RANGE,
+  // UNIMPLEMENTED... are deterministic and never retried.
+  bool transient() const {
+    switch (code_) {
+      case 1:   // CANCELLED
+      case 2:   // UNKNOWN
+      case 4:   // DEADLINE_EXCEEDED
+      case 8:   // RESOURCE_EXHAUSTED
+      case 9:   // FAILED_PRECONDITION
+      case 10:  // ABORTED
+      case 13:  // INTERNAL
+      case 14:  // UNAVAILABLE
+        return true;
+      default:
+        return false;
+    }
+  }
+
+ private:
+  int code_;
+};
 
 class PjrtExecutor {
  public:

@@ -25,6 +25,7 @@ namespace {
 
 struct ErrorImpl {
   std::string message;
+  int code = 14;  // PJRT_Error_Code_UNAVAILABLE (transient) by default
 };
 
 }  // namespace
@@ -37,6 +38,7 @@ struct PJRT_Event {};
 struct PJRT_Device {};
 struct PJRT_Client {
   int64_t fail_executes = 0;
+  int64_t fail_code = 14;  // code injected failures carry (UNAVAILABLE)
   PJRT_Device device;
   PJRT_Device* devices[1];
 };
@@ -50,9 +52,11 @@ struct PJRT_Buffer {
 
 namespace {
 
-PJRT_Error* MakeError(const std::string& msg) {
+PJRT_Error* MakeError(const std::string& msg,
+                      int code = 3 /* INVALID_ARGUMENT */) {
   auto* e = new PJRT_Error;
   e->impl.message = msg;
+  e->impl.code = code;
   return e;
 }
 
@@ -61,6 +65,11 @@ void ErrorDestroy(PJRT_Error_Destroy_Args* args) { delete args->error; }
 void ErrorMessage(PJRT_Error_Message_Args* args) {
   args->message = args->error->impl.message.c_str();
   args->message_size = args->error->impl.message.size();
+}
+
+PJRT_Error* ErrorGetCode(PJRT_Error_GetCode_Args* args) {
+  args->code = static_cast<PJRT_Error_Code>(args->error->impl.code);
+  return nullptr;
 }
 
 PJRT_Error* PluginInitialize(PJRT_Plugin_Initialize_Args*) { return nullptr; }
@@ -73,6 +82,9 @@ PJRT_Error* ClientCreate(PJRT_Client_Create_Args* args) {
     std::string name(nv.name, nv.name_size);
     if (name == "stub_fail_executes" && nv.type == PJRT_NamedValue_kInt64) {
       c->fail_executes = nv.int64_value;
+    }
+    if (name == "stub_fail_code" && nv.type == PJRT_NamedValue_kInt64) {
+      c->fail_code = nv.int64_value;
     }
   }
   args->client = c;
@@ -165,7 +177,8 @@ PJRT_Error* LoadedExecutableExecute(
   PJRT_Client* client = args->executable->client;
   if (client->fail_executes > 0) {
     --client->fail_executes;
-    return MakeError("stub: injected transient execute failure");
+    return MakeError("stub: injected execute failure",
+                     static_cast<int>(client->fail_code));
   }
   if (args->num_devices != 1 || args->num_args != 1) {
     return MakeError("stub: expected 1 device / 1 arg");
@@ -202,6 +215,7 @@ extern "C" const PJRT_Api* GetPjrtApi() {
     a.pjrt_api_version.minor_version = PJRT_API_MINOR;
     a.PJRT_Error_Destroy = ErrorDestroy;
     a.PJRT_Error_Message = ErrorMessage;
+    a.PJRT_Error_GetCode = ErrorGetCode;
     a.PJRT_Plugin_Initialize = PluginInitialize;
     a.PJRT_Event_Await = EventAwait;
     a.PJRT_Event_Destroy = EventDestroy;

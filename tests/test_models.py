@@ -186,3 +186,34 @@ def test_vnet_adaptive_packing_matches_direct():
         diffs = jax.tree_util.tree_map(
             lambda a, b: float(jnp.max(jnp.abs(a - b))), g, g_ref)
         assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3 * g_scale
+
+
+def test_adaptive_factors_odd_leading_dim():
+    """An odd leading spatial dim must not disable packing when enough
+    trailing dims are even: the even axes get the factor-2 packing."""
+    from vnet_tpu.models.vnet import adaptive_factors
+
+    assert adaptive_factors((16, 16, 16), 16, 128) == (True, (2, 2, 2))
+    assert adaptive_factors((16, 16, 16), 32, 128) == (True, (2, 2, 1))
+    assert adaptive_factors((16, 16, 16), 128, 128) == (False, None)
+    # odd leading dim: pick the even trailing axes instead of giving up
+    assert adaptive_factors((9, 16, 16), 32, 128) == (True, (1, 2, 2))
+    assert adaptive_factors((9, 16, 16), 16, 128) == (False, None)  # needs 3
+    assert adaptive_factors((16, 9, 16), 64, 128) == (True, (2, 1, 1))
+
+
+def test_convblock_packed_non_leading_factors_match_direct():
+    """ConvBlock in packed mode with factors (1,2,2) — the odd-leading-dim
+    configuration adaptive_factors now selects — matches the direct conv."""
+    from vnet_tpu.models.vnet import ConvBlock
+
+    x = jnp.asarray(np.random.default_rng(1).normal(
+        size=(1, 9, 16, 16, 16)).astype(np.float32))
+    ref = ConvBlock(2, norm="batch", dropout_rate=0.0, conv_impl="direct")
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    out_ref = np.asarray(ref.apply(variables, x, train=False))
+
+    m = ConvBlock(2, norm="batch", dropout_rate=0.0, packed_mode=True,
+                  packed_factors=(1, 2, 2))
+    out = np.asarray(m.apply(variables, x, train=False))
+    np.testing.assert_allclose(out, out_ref, atol=2e-4)

@@ -34,6 +34,16 @@ def slice_min_class_count(label_slice: np.ndarray, classes: Sequence[int]) -> in
     return 0 if min_pixel == np.iinfo(np.int64).max else min_pixel
 
 
+def extract_slice(img: MedicalImage, z: int) -> MedicalImage:
+    """sitk ExtractImageFilter along z (`NiftiDataset2D.py:258-270`):
+    slice ``z`` with its 2D geometry (spacing/origin/direction)."""
+    D = img.direction_matrix()
+    return MedicalImage(np.ascontiguousarray(img.data[:, :, z]),
+                        img.spacing[:2],
+                        img.TransformIndexToPhysicalPoint((0, 0, z))[:2],
+                        tuple(D[:2, :2].ravel()))
+
+
 class NiftiDataset2D:
     """Iterable over (case, z) slices yielding ``(image[x,y,C] f32,
     label[x,y] i32)``."""
@@ -77,12 +87,7 @@ class NiftiDataset2D:
         return len(self.slices)
 
     def _extract_slice(self, img: MedicalImage, z: int) -> MedicalImage:
-        """sitk ExtractImageFilter along z (`NiftiDataset2D.py:258-270`)."""
-        D = img.direction_matrix()
-        return MedicalImage(np.ascontiguousarray(img.data[:, :, z]),
-                            img.spacing[:2],
-                            img.TransformIndexToPhysicalPoint((0, 0, z))[:2],
-                            tuple(D[:2, :2].ravel()))
+        return extract_slice(img, z)
 
     def get_sample(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         case, z = self.slices[index]

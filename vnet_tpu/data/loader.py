@@ -172,10 +172,25 @@ class BatchLoader:
 
         pending = {}
         next_pos = 0
+        clean = False
         try:
             for _ in range(len(order)):
                 while next_pos not in pending:
-                    pos, sample, err = done_q.get()
+                    # bounded wait + liveness check: a worker that dies
+                    # without posting (OOM-kill, segfaulting parser) must
+                    # surface as an error, not a silent eternal hang
+                    while True:
+                        try:
+                            pos, sample, err = done_q.get(timeout=10.0)
+                            break
+                        except queue.Empty:
+                            dead = [p for p in procs if not p.is_alive()
+                                    and p.exitcode not in (0, None)]
+                            if dead:
+                                raise RuntimeError(
+                                    "BatchLoader worker died (exit codes "
+                                    f"{[p.exitcode for p in dead]}) without "
+                                    "posting a result — aborting epoch")
                     pending[pos] = (sample, err)
                 sample, err = pending.pop(next_pos)
                 next_pos += 1
@@ -187,9 +202,16 @@ class BatchLoader:
                     print(f"BatchLoader: skipping failed sample: {err}")
                     continue
                 yield sample
+            clean = True
         finally:
+            if clean:
+                # normal completion: workers exit via their sentinel
+                for p in procs:
+                    p.join(timeout=10)
+            # terminate stragglers / abnormal exit paths
             for p in procs:
-                p.terminate()
+                if p.is_alive():
+                    p.terminate()
             for p in procs:
                 p.join(timeout=5)
 

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import Config, load_pipeline
 from ..data import build_pipeline, list_cases
-from ..data.dataset2d import NiftiDataset2D
+from ..data.dataset2d import extract_slice
 from ..io import (MedicalImage, read_image, resample_like, write_image,
                   zeros_like_geometry)
 from ..io.resample import LINEAR, NEAREST, pad_to_size
@@ -161,10 +161,9 @@ class Evaluator:
                               np.float32)
                      if self.e.probability_output else None)
 
-        helper = NiftiDataset2D.__new__(NiftiDataset2D)  # reuse slice extract
         for z in range(images3d[0].GetSize()[2]):
-            slice_imgs = [helper._extract_slice(im, z) for im in images3d]
-            slice_lbl = helper._extract_slice(label3d, z)
+            slice_imgs = [extract_slice(im, z) for im in images3d]
+            slice_lbl = extract_slice(label3d, z)
             orig_slice = slice_imgs[0]
 
             s = {"image": slice_imgs, "label": slice_lbl}

@@ -204,5 +204,9 @@ class SlidingWindowInference:
         key = (vol_shape, num_batches)
         if key not in self._compiled:
             self._compiled[key] = self._make_jitted(vol_shape, num_batches)
-        return self._compiled[key](variables, jnp.asarray(volume),
+        # whole-volume H2D transfers are the documented transient-failure
+        # site on the tunneled TPU — retryable, host array stays alive
+        from ..utils.retry import retry_transient
+        dev_volume = retry_transient(jnp.asarray, volume)
+        return self._compiled[key](variables, dev_volume,
                                    jnp.asarray(starts))

@@ -37,6 +37,27 @@ import jax.numpy as jnp
 from .layers import Activation, DownConv, Norm, UpConv, conv
 
 
+def adaptive_factors(spatial, ch, target_lanes):
+    """Per-axis space-to-depth factors for a level: pack just enough axes
+    (factor 2) that ``packed_channels >= target_lanes`` fills the MXU
+    lanes. Axes are chosen among the EVEN-sized ones, leading first and
+    deterministically — encoder and decoder levels see the same
+    ``(spatial, ch)`` so their factors always match; an odd leading dim
+    does not disable packing when enough trailing dims are even.
+
+    Returns ``(ok, factors)`` — ``(False, None)`` when no packing applies.
+    """
+    rank = len(spatial)
+    n = 0
+    while n < rank and (2 ** n) * ch < target_lanes:
+        n += 1
+    even_axes = [i for i, s in enumerate(spatial) if s % 2 == 0]
+    if n < 1 or len(even_axes) < n:
+        return False, None
+    chosen = set(even_axes[:n])
+    return True, tuple(2 if i in chosen else 1 for i in range(rank))
+
+
 class ConvBlock(nn.Module):
     """Residual conv block (`networks.py:307-322`): n x [5^r conv ->
     (+input at last conv) -> norm -> act -> dropout]."""
@@ -269,73 +290,45 @@ class VNet(nn.Module):
                     or self.norm not in ("batch", "batch_stats")):
                 return False, None
             if self.packed_target_lanes > 0:
-                n = 0
-                while (n < rank
-                       and (2 ** n) * ch < self.packed_target_lanes):
-                    n += 1
-                factors = (2,) * n + (1,) * (rank - n)
-                ok = (n >= 1 and all(
-                    s % f == 0 for s, f in zip(spatial, factors)))
-                return (ok, factors if ok else None)
+                return adaptive_factors(spatial, ch,
+                                        self.packed_target_lanes)
             groups = 2 ** rank
             cap = 2 * self.packed_cap if decoder else self.packed_cap
             ok = (all(s % 2 == 0 for s in spatial)
                   and groups * (2 * ch if decoder else ch) <= cap)
             return ok, None
 
-        # encoder (networks.py:270-280). x_p tracks whether x is currently
-        # in the packed layout of its own grid: down-convs emit the next
-        # level's packed layout directly when both sides are packed, so
-        # level boundaries cost zero s2d transposes.
+        # encoder (networks.py:270-280). Each packed block packs/unpacks at
+        # its own edges; down-convs consume packed inputs directly.
+        # NB: DownConv(packed_output=True) — emitting the next level's
+        # packed layout directly so blocks could skip their own pack —
+        # measured SLOWER (228 vs 218 ms/step, 4x compile time,
+        # BENCHMARKS.md): the wide-tensor s2d + grouped matmul defeats
+        # XLA's down-conv/unpack fusion. Levels re-pack narrow tensors.
         skips = []          # (tensor, is_packed, factors)
-        x_p = False
         for level in range(self.num_levels):
-            if x_p:
-                spatial = tuple(2 * s for s in x.shape[1:-1])
-                ch = x.shape[-1] // (2 ** rank)
-            else:
-                spatial, ch = x.shape[1:-1], x.shape[-1]
+            spatial, ch = x.shape[1:-1], x.shape[-1]
             enc_p, enc_f = level_packed(spatial, ch)
-            if x_p and not enc_p:
-                from ..ops.s2d import depth_to_space
-                x = depth_to_space(x)
-                x_p = False
             x = ConvBlock(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
                           self.param_dtype,
                           block_impl if enc_p else fallback_impl,
-                          packed_mode=enc_p, pack_input=not x_p,
+                          packed_mode=enc_p,
                           unpack_output=not enc_p, packed_factors=enc_f,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append((x, enc_p, enc_f))
-            # NB: DownConv(packed_output=True) — emitting the next level's
-            # packed layout directly — measured SLOWER (228 vs 218 ms/step,
-            # 4x compile time, BENCHMARKS.md): the wide-tensor s2d +
-            # grouped matmul defeats XLA's down-conv/unpack fusion. Levels
-            # re-pack narrow tensors instead.
             x = DownConv(2, self.norm, self.activation, self.dtype,
                          self.param_dtype, impl, packed_input=enc_p,
                          packed_factors=enc_f,
                          name=f"down_{level + 1}")(x, train)
-            x_p = False
 
         # bottom (networks.py:282-283)
-        if x_p:
-            bot_spatial = tuple(2 * s for s in x.shape[1:-1])
-            bot_ch = x.shape[-1] // (2 ** rank)
-        else:
-            bot_spatial, bot_ch = x.shape[1:-1], x.shape[-1]
-        bot_p, bot_f = level_packed(bot_spatial, bot_ch)
-        if x_p and not bot_p:
-            from ..ops.s2d import depth_to_space
-            x = depth_to_space(x)
-            x_p = False
+        bot_p, bot_f = level_packed(x.shape[1:-1], x.shape[-1])
         x = ConvBlock(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
                       self.param_dtype,
                       block_impl if bot_p else fallback_impl,
-                      packed_mode=bot_p,
-                      pack_input=not x_p, packed_factors=bot_f,
+                      packed_mode=bot_p, packed_factors=bot_f,
                       name="bottom")(x, train)
 
         # decoder (networks.py:285-296)

@@ -91,15 +91,21 @@ def make_multislice_mesh(ici_data_parallel: int = 0,
             f"mesh dcn={dcn_data_parallel} x ici={ici_data_parallel} x "
             f"space={space_parallel} needs {want} devices, have {n}")
 
-    try:
+    # Only use the hybrid (DCN-aware) mesh builder when the runtime exposes
+    # a real multi-slice topology; on CPU meshes / single slices fall back
+    # to plain device order (jax.devices() is slice-major). A failure WITH
+    # topology present is a real configuration bug and must propagate —
+    # silently falling back would straddle the ICI-minor axis across DCN
+    # and quietly wreck all-reduce throughput.
+    slice_indices = {getattr(d, "slice_index", None) for d in devices}
+    has_topology = len(slice_indices - {None}) > 1
+    if has_topology:
         from jax.experimental import mesh_utils
         grid = mesh_utils.create_hybrid_device_mesh(
             mesh_shape=(ici_data_parallel, space_parallel),
             dcn_mesh_shape=(dcn_data_parallel, 1),
             devices=devices)
-    except Exception:
-        # no slice topology (CPU / single slice): jax.devices() order is
-        # already slice-major
+    else:
         grid = np.asarray(devices).reshape(
             dcn_data_parallel * ici_data_parallel, space_parallel)
     grid = np.asarray(grid).reshape(

@@ -257,19 +257,24 @@ class Trainer:
                    ) -> Tuple[TrainState, TrainStepOutput]:
         self._build_steps()
         from ..parallel.mesh import shard_batch_per_host
+        from ..utils.retry import retry_transient
         # per-host feeding: each process contributes its local cases and
-        # the batch assembles globally (multi-slice/multi-host safe)
-        images = shard_batch_per_host(self.mesh,
-                                      np.asarray(images, np.float32))
-        labels = shard_batch_per_host(self.mesh,
-                                      np.asarray(labels, np.int32))
+        # the batch assembles globally (multi-slice/multi-host safe).
+        # H2D transfers are retried on transient runtime failures (the
+        # documented tunnel FAILED_PRECONDITION, preemption UNAVAILABLE);
+        # the host arrays stay alive so a retry is safe — the jitted step
+        # itself is NOT retried (donated buffers die with a failed call).
+        images = retry_transient(shard_batch_per_host, self.mesh,
+                                 np.asarray(images, np.float32))
+        labels = retry_transient(shard_batch_per_host, self.mesh,
+                                 np.asarray(labels, np.int32))
         if self.is_attention:
             if distance_maps is None:
                 distance_maps = np.zeros(labels.shape, np.float32)
             state, loss, aux, metrics = self._train_step_fn(
                 state, images, labels, rng,
-                shard_batch_per_host(self.mesh,
-                                     np.asarray(distance_maps, np.float32)))
+                retry_transient(shard_batch_per_host, self.mesh,
+                                np.asarray(distance_maps, np.float32)))
         else:
             state, loss, aux, metrics = self._train_step_fn(
                 state, images, labels, rng)
@@ -287,9 +292,13 @@ class Trainer:
         in-scan step counter, so each sub-step gets fresh randomness.
         """
         self._build_steps()
+        from ..utils.retry import retry_transient
+        # transfer the super-batch explicitly (retryable) before the
+        # donated jitted call
+        dev_images = retry_transient(jnp.asarray, images, jnp.float32)
+        dev_labels = retry_transient(jnp.asarray, labels, jnp.int32)
         state, (losses, auxs, metricss) = self._scan_step_fn(
-            state, jnp.asarray(images, jnp.float32),
-            jnp.asarray(labels, jnp.int32), rng)
+            state, dev_images, dev_labels, rng)
         outs = []
         k = losses.shape[0]
         for i in range(k):
