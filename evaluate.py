@@ -28,12 +28,32 @@ def get_parser():
     p.add_argument("--attention", action="store_true")
     p.add_argument("--probability_output", action="store_true")
     p.add_argument("--gaussian_blend", action="store_true")
+    p.add_argument("--volume_threshold", type=float, default=0.0,
+                   help="drop connected components below this physical "
+                        "volume; also masks the probability map outside "
+                        "(reference evaluate.py:316-323)")
+    p.add_argument("--label_mode", default="average_hard",
+                   choices=["average_hard", "argmax"],
+                   help="average_hard = legacy hard-prediction averaging "
+                        "(evaluate.py:264-271); argmax = modern softmax "
+                        "blend (model.py:934)")
     p.add_argument("--pipeline", default="")
     return p
 
 
+def _honor_jax_platforms_env():
+    """Make JAX_PLATFORMS authoritative for this CLI: environments whose
+    sitecustomize force-selects a remote accelerator override the env var
+    via jax.config; re-assert it so `JAX_PLATFORMS=cpu python ...` works."""
+    val = os.environ.get("JAX_PLATFORMS")
+    if val:
+        import jax
+        jax.config.update("jax_platforms", val)
+
+
 def main():
     args = get_parser().parse_args()
+    _honor_jax_platforms_env()
 
     from vnet_tpu.config import parse_config
 
@@ -73,6 +93,11 @@ def main():
             "BatchSize": args.batch_size,
             "ProbabilityOutput": args.probability_output,
             "GaussianBlend": args.gaussian_blend,
+            "VolumeThreshold": args.volume_threshold,
+            "LabelMode": args.label_mode,
+            # the reference's legacy evaluator always masks the prob map
+            # with the thresholded label when VolumeThreshold > 0
+            "MaskProbabilityWithLabel": True,
             "Pipeline": pipeline,
         },
     }

@@ -80,3 +80,35 @@ def test_evaluate_missing_case_skipped(trained, tmp_path):
     ev = Evaluator(cfg, state=state)
     results = ev.evaluate()  # must not raise
     assert all("case_missing" not in r for r in results)
+
+
+def test_evaluate_average_hard_mode(trained):
+    """LabelMode=average_hard runs the legacy hard-prediction averaging
+    path (`/root/reference/evaluate.py:264-271`) end to end."""
+    cfg, state, tmp_path = trained
+    cfg.evaluate.label_mode = "average_hard"
+    ev = Evaluator(cfg, state=state)
+    results = ev.evaluate()
+    out = read_image(results[0])
+    assert set(np.unique(out.data)) <= {0, 1}
+    cfg.evaluate.label_mode = "argmax"
+
+
+def test_evaluate_prob_map_masking(trained):
+    """MaskProbabilityWithLabel + VolumeThreshold zeroes the probability
+    map where the thresholded label is nonzero (MaskNegatedImageFilter,
+    `/root/reference/evaluate.py:316-323`)."""
+    cfg, state, tmp_path = trained
+    cfg.evaluate.probability_output = True
+    cfg.evaluate.volume_threshold = 1e-6  # keep everything, enable masking
+    cfg.evaluate.mask_probability_with_label = True
+    ev = Evaluator(cfg, state=state)
+    results = ev.evaluate()
+    label = read_image(results[0])
+    case = tmp_path / "evaluate" / "case_0"
+    p1 = read_image(str(case / "probability_1.nii.gz"))
+    inside = np.asarray(label.data) != 0
+    assert np.all(np.asarray(p1.data)[inside] == 0.0)
+    cfg.evaluate.probability_output = False
+    cfg.evaluate.volume_threshold = 0.0
+    cfg.evaluate.mask_probability_with_label = False

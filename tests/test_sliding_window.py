@@ -142,3 +142,40 @@ def test_volume_smaller_than_patch_raises():
     eng = SlidingWindowInference(lambda v, p: p, (8, 8, 8), (4, 4, 4), 1, 2)
     with pytest.raises(ValueError, match="pad first"):
         eng({}, np.zeros((4, 4, 4, 1), np.float32))
+
+
+def test_hard_accumulate_reference_averaging_semantics():
+    """Legacy hard-prediction averaging (`/root/reference/evaluate.py:
+    264-271`): accumulate per-patch argmax, label = rint(sum/visits+0.01).
+    Constructed so it DISAGREES with softmax-argmax blending on the
+    double-visited band: preds 1 and 0 average to 0.5 -> rounds UP to 1,
+    while the softmax sum favours class 0."""
+    l1_hi = float(np.log(0.9 / 0.1))     # softmax -> prob1 = 0.90
+    l1_lo = float(np.log(0.05 / 0.95))   # softmax -> prob1 = 0.05
+
+    def apply_fn(variables, patches):
+        v = patches[:, 0, 0, 0, 0]  # first voxel == patch start along axis 0
+        l1 = jnp.where(v == 0, l1_hi, l1_lo)
+        l1 = jnp.broadcast_to(l1[:, None, None, None], patches.shape[:-1])
+        return jnp.stack([jnp.zeros_like(l1), l1], axis=-1)
+
+    vol = np.broadcast_to(
+        np.arange(8, dtype=np.float32)[:, None, None, None],
+        (8, 4, 4, 1)).copy()
+
+    hard_eng = SlidingWindowInference(apply_fn, (4, 4, 4), (2, 4, 4),
+                                      batch_size=3, num_classes=2,
+                                      hard_accumulate=True)
+    acc, weight = hard_eng({}, vol)
+    acc, weight = np.asarray(acc), np.asarray(weight)
+    assert acc.shape == (8, 4, 4, 3)  # [pred_sum, softmax0, softmax1]
+    hard_label = np.rint(acc[..., 0] / weight + 0.01).astype(np.uint8)
+    soft_label = np.argmax(acc[..., 1:], axis=-1).astype(np.uint8)
+
+    np.testing.assert_array_equal(hard_label[0:2], 1)  # single visit, pred 1
+    np.testing.assert_array_equal(hard_label[2:4], 1)  # (1+0)/2 + .01 -> 1
+    np.testing.assert_array_equal(hard_label[4:8], 0)
+    np.testing.assert_array_equal(soft_label[2:4], 0)  # modes disagree here
+    # softmax channels are still a valid distribution after weighting
+    np.testing.assert_allclose(
+        (acc[..., 1] + acc[..., 2]) / weight, 1.0, atol=1e-5)

@@ -133,7 +133,18 @@ def flags_to_config(args):
     return parse_config(tree)
 
 
+def _honor_jax_platforms_env():
+    """Make JAX_PLATFORMS authoritative for this CLI: environments whose
+    sitecustomize force-selects a remote accelerator override the env var
+    via jax.config; re-assert it so `JAX_PLATFORMS=cpu python ...` works."""
+    val = os.environ.get("JAX_PLATFORMS")
+    if val:
+        import jax
+        jax.config.update("jax_platforms", val)
+
+
 def main():
+    _honor_jax_platforms_env()
     args = get_parser().parse_args()
     config = flags_to_config(args)
     from vnet_tpu.train import Trainer

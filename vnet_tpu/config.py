@@ -155,6 +155,15 @@ class EvaluationConfig:
     pipeline_path: str = ""
     # TPU-native extension: cosine-window (Gaussian-like) patch blending
     gaussian_blend: bool = False
+    # "argmax" (modern, model.py:934) or "average_hard" — the legacy
+    # evaluator's hard-prediction averaging, rint(sum(pred)/visits + 0.01)
+    # (`/root/reference/evaluate.py:264-271`)
+    label_mode: str = "argmax"
+    # legacy prob-map masking: zero the probability map where the
+    # (volume-thresholded) label is nonzero — sitk MaskNegatedImageFilter
+    # (`/root/reference/evaluate.py:316-323`); applied only when
+    # volume_threshold > 0, matching the reference's guard
+    mask_probability_with_label: bool = False
 
 
 @dataclass
@@ -260,6 +269,9 @@ def parse_config(tree: dict) -> Config:
         probability_output=bool(es.get("ProbabilityOutput", False)),
         largest_connected_component=bool(es.get("LargestConnectedComponent", False)),
         volume_threshold=float(es.get("VolumeThreshold", 0.0)),
+        label_mode=str(es.get("LabelMode", "argmax")),
+        mask_probability_with_label=bool(
+            es.get("MaskProbabilityWithLabel", False)),
         pipeline_path=es.get("Pipeline", train.pipeline_path),
         gaussian_blend=bool(es.get("GaussianBlend", False)),
     )

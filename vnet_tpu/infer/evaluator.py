@@ -72,10 +72,17 @@ class Evaluator:
         if len(jax.devices()) > 1:
             from ..parallel.mesh import make_mesh
             mesh = make_mesh()
+        if self.e.label_mode not in ("argmax", "average_hard"):
+            raise ValueError(f"unknown LabelMode {self.e.label_mode!r}")
+        self.hard_mode = self.e.label_mode == "average_hard"
+        if self.hard_mode and self.t.dimension == 2:
+            raise ValueError(
+                "LabelMode 'average_hard' is the legacy 3D evaluator mode "
+                "(/root/reference/evaluate.py is 3D-only)")
         self.engine = SlidingWindowInference(
             apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
             self.t.num_classes, gaussian_blend=self.e.gaussian_blend,
-            mesh=mesh)
+            mesh=mesh, hard_accumulate=self.hard_mode)
         if mesh is not None:
             # weights may come from a trainer mesh with fewer devices;
             # re-replicate them onto the evaluation mesh
@@ -133,7 +140,15 @@ class Evaluator:
         acc = np.asarray(acc)
         weight = np.asarray(weight)
 
-        label_np = np.argmax(acc, axis=-1).astype(np.uint8)  # model.py:934
+        if self.hard_mode:
+            # legacy averaging of hard predictions: channel 0 holds the
+            # pred sum; rint(sum/visits + 0.01) (`evaluate.py:264-271`)
+            label_np = np.rint(
+                acc[..., 0] / np.maximum(weight, 1e-12) + 0.01
+            ).astype(np.uint8)
+            acc = acc[..., 1:]  # softmax channels for the prob maps
+        else:
+            label_np = np.argmax(acc, axis=-1).astype(np.uint8)  # model.py:934
         label_tfm = transformed_geom.like(label_np)
         label = resample_like(label_tfm, original, NEAREST)
 
@@ -210,6 +225,13 @@ class Evaluator:
             label = extract_largest_connected_component(label)
         if self.e.volume_threshold > 0:  # model.py:1222-1223
             label = volume_threshold(label, self.e.volume_threshold)
+            if self.e.mask_probability_with_label and probs is not None:
+                # legacy MaskNegatedImageFilter semantics: keep the prob
+                # map only where the thresholded label is ZERO
+                # (`/root/reference/evaluate.py:316-323`)
+                mask = np.asarray(label.data) != 0
+                probs = [pr.like(np.where(mask, 0.0, pr.data)
+                                 .astype(np.float32)) for pr in probs]
         return label, probs
 
     def evaluate(self):

@@ -84,7 +84,7 @@ class SlidingWindowInference:
     def __init__(self, apply_fn, patch_shape: Sequence[int],
                  stride: Sequence[int], batch_size: int, num_classes: int,
                  gaussian_blend: bool = False, mesh=None,
-                 mesh_axis: str = "data"):
+                 mesh_axis: str = "data", hard_accumulate: bool = False):
         self.apply_fn = apply_fn
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.stride = tuple(int(s) for s in stride)
@@ -99,6 +99,12 @@ class SlidingWindowInference:
         # assembles the volume (SURVEY.md §5.7's eval-grid sharding).
         self.mesh = mesh
         self.mesh_axis = mesh_axis
+        # hard_accumulate: ALSO accumulate the per-patch hard prediction
+        # (integer argmax as float) in an extra leading channel — the
+        # legacy evaluator's averaging mode, `/root/reference/evaluate.py:
+        # 264-271`: label = rint(sum(pred)/visits + 0.01). Channel 0 of the
+        # returned accumulator is the pred sum; channels 1..C the softmax.
+        self.hard_accumulate = bool(hard_accumulate)
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -118,8 +124,10 @@ class SlidingWindowInference:
 
         varying_axis = self.mesh_axis if self.mesh is not None else None
 
+        acc_channels = self.num_classes + (1 if self.hard_accumulate else 0)
+
         def run(variables, volume, starts):
-            acc = jnp.zeros(vol_shape[:-1] + (self.num_classes,), jnp.float32)
+            acc = jnp.zeros(vol_shape[:-1] + (acc_channels,), jnp.float32)
             weight = jnp.zeros(vol_shape[:-1], jnp.float32)
             if varying_axis is not None:
                 # inside shard_map the per-device accumulators are varying
@@ -135,13 +143,16 @@ class SlidingWindowInference:
                 patches = gather(volume, batch_starts)
                 logits = self.apply_fn(variables, patches)
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                if self.hard_accumulate:
+                    pred = jnp.argmax(probs, axis=-1).astype(jnp.float32)
+                    probs = jnp.concatenate([pred[..., None], probs], axis=-1)
                 probs = probs * window[..., None]
 
                 def scatter(j, carry):
                     acc, weight = carry
                     s = tuple(batch_starts[j, i] for i in range(rank))
                     cur = jax.lax.dynamic_slice(acc, s + (0,),
-                                                patch + (self.num_classes,))
+                                                patch + (acc_channels,))
                     acc = jax.lax.dynamic_update_slice(
                         acc, cur + probs[j], s + (0,))
                     curw = jax.lax.dynamic_slice(weight, s, patch)
