@@ -286,3 +286,33 @@ def test_scan_buffer_carries_across_epochs(tmp_path, rng):
     assert cfg.train.scan_steps == 2
     state = Trainer(cfg, log=False).train()
     assert int(state.step) >= 2
+
+
+def test_auc_and_scan_perf_streams(tmp_path, rng):
+    """ComputeAUC wires the per-class AUC TB stream (model.py:608-626) and
+    the ScanSteps path emits perf/* scalars too (round-1 gap: only the
+    non-scan path logged throughput)."""
+    # StepTimer has warmup=2: run >= 3 scan blocks so perf scalars emit
+    cfg = load_config(write_config(tmp_path, rng, batch_size=2, num_cases=2,
+                                   max_iterations=6, ScanSteps=2, Epoches=8,
+                                   ComputeAUC=True))
+    assert cfg.train.compute_auc
+
+    class FakeWriter:
+        def __init__(self):
+            self.scalars = []
+
+        def add_scalar(self, name, value, step):
+            self.scalars.append(name)
+
+        def add_image(self, *a, **k):
+            pass
+
+    writers = {}
+    trainer = Trainer(cfg, log=True)
+    trainer._writer = lambda tag: writers.setdefault(tag, FakeWriter())
+    trainer.train()
+    names = set(writers["train"].scalars)
+    assert any(n.startswith("metrics/auc") for n in names), names
+    assert "perf/step_time_s" in names
+    assert "perf/patches_per_s" in names

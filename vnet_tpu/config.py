@@ -96,6 +96,9 @@ class TrainingConfig:
     max_iterations: int = 15000
     log_interval: int = 50
     image_log: bool = False
+    # per-class AUC TensorBoard stream (`/root/reference/model.py:608-626`);
+    # off by default — the 200-threshold estimator is a measurable cost
+    compute_auc: bool = False
     testing: bool = False
     test_step: int = 100
     network: NetworkConfig = field(default_factory=NetworkConfig)
@@ -220,6 +223,7 @@ def parse_config(tree: dict) -> Config:
         max_iterations=int(ts.get("MaxIterations", 15000)),
         log_interval=int(ts.get("LogInterval", 50)),
         image_log=bool(ts.get("ImageLog", False)),
+        compute_auc=bool(ts.get("ComputeAUC", False)),
         testing=bool(ts.get("Testing", False)),
         test_step=int(ts.get("TestStep", 100)),
         network=_network_config(tree),

@@ -67,7 +67,7 @@ class TrainStepOutput:
 
 def make_train_step(network, tx, loss_cfg, num_classes: int,
                     is_attention: bool, compute_metrics: bool = True,
-                    device_augment=None):
+                    device_augment=None, compute_auc: bool = False):
     """Build the pure train-step function (to be jitted with donation).
 
     For attention-gated networks the step takes an extra ``distance_maps``
@@ -121,14 +121,16 @@ def make_train_step(network, tx, loss_cfg, num_classes: int,
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(step=state.step + 1, params=new_params,
                                   batch_stats=new_bs, opt_state=new_opt)
-        metrics = (batch_metrics(logits, labels, num_classes)
+        metrics = (batch_metrics(logits, labels, num_classes,
+                                  compute_auc=compute_auc)
                    if compute_metrics else {})
         return new_state, loss, aux, metrics
 
     return step_fn
 
 
-def make_eval_step(network, loss_cfg, num_classes: int, is_attention: bool):
+def make_eval_step(network, loss_cfg, num_classes: int, is_attention: bool,
+                   compute_auc: bool = False):
     """Loss+metrics on a test batch without updating anything
     (`model.py:784-789`)."""
 
@@ -139,7 +141,8 @@ def make_eval_step(network, loss_cfg, num_classes: int, is_attention: bool):
         loss, aux = segmentation_loss(
             logits, labels, name=loss_cfg.name, num_classes=num_classes,
             weights=loss_cfg.weights, alpha=loss_cfg.alpha)
-        return loss, aux, batch_metrics(logits, labels, num_classes)
+        return loss, aux, batch_metrics(logits, labels, num_classes,
+                                        compute_auc=compute_auc)
 
     return step_fn
 
@@ -214,7 +217,8 @@ class Trainer:
             return
         raw = make_train_step(self.network, self.tx, self.t.loss,
                               self.t.num_classes, self.is_attention,
-                              device_augment=self._device_aug)
+                              device_augment=self._device_aug,
+                              compute_auc=self.t.compute_auc)
         bsh = batch_sharding(self.mesh)
         rep = replicated(self.mesh)
         if self.is_attention:
@@ -231,7 +235,8 @@ class Trainer:
                 out_shardings=rep,
                 donate_argnums=(0,))
         raw_eval = make_eval_step(self.network, self.t.loss,
-                                  self.t.num_classes, self.is_attention)
+                                  self.t.num_classes, self.is_attention,
+                                  compute_auc=self.t.compute_auc)
         self._eval_step_fn = jax.jit(
             raw_eval, in_shardings=(rep, bsh, bsh), out_shardings=rep)
 
@@ -478,14 +483,26 @@ class Trainer:
                     sim = np.stack([b[0] for b in scan_buf])
                     slb = np.stack([b[1] for b in scan_buf])
                     scan_buf = []
-                    state, outs = self.train_steps_scanned(state, sim, slb,
-                                                           rng)
+                    with timer:
+                        state, outs = self.train_steps_scanned(state, sim,
+                                                               slb, rng)
+                        # sync so the block timing is real, not dispatch
+                        float(outs[-1].loss)
                     for out in outs:
                         step += 1
                         if pending is not None:
                             epoch_loss += self._log_scalars("train", *pending)
                             count += 1
                         pending = (step, out)
+                    w = self._writer("train")
+                    if w is not None and timer.times:
+                        # per-step perf scalars in the ScanSteps path too:
+                        # the K-step block amortizes dispatch, so report
+                        # block_time / K per optimizer step
+                        per_step = timer.times[-1] / scan_k
+                        w.add_scalar("perf/step_time_s", per_step, step)
+                        w.add_scalar("perf/patches_per_s",
+                                     t.batch_size / per_step, step)
                 else:
                     with timer:
                         state, out = self.train_step(
