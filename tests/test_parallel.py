@@ -131,3 +131,40 @@ def test_multislice_mesh_fallback_cpu():
     a = shard_batch_per_host(mesh2, x)
     np.testing.assert_array_equal(np.asarray(a), x)
     assert a.sharding.spec == jax.sharding.PartitionSpec("data")
+
+
+def test_tensor_parallel_conv_matches_unsharded():
+    """Minimal TP (SURVEY §2.5 optional row): output-channel-sharded conv
+    over a `model` axis equals the unsharded conv; kernel shards live on
+    their own devices."""
+    import jax
+    import jax.numpy as jnp
+    from vnet_tpu.parallel.tensor import (make_tp_mesh, replicate,
+                                          shard_kernel, tp_conv)
+
+    mesh = make_tp_mesh(4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 3, 4, 8)).astype(np.float32))
+
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    xs = replicate(mesh, x)
+    ks = shard_kernel(mesh, k)
+    # the kernel really is channel-sharded across 4 devices
+    assert len(ks.sharding.device_set) == 4
+    out = tp_conv(mesh, xs, ks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    # 2D rank as well
+    x2 = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    k2 = jnp.asarray(rng.normal(size=(3, 3, 4, 8)).astype(np.float32))
+    ref2 = jax.lax.conv_general_dilated(
+        x2, k2, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out2 = tp_conv(mesh, replicate(mesh, x2), shard_kernel(mesh, k2))
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2), atol=1e-4)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        tp_conv(mesh, xs, jnp.zeros((3, 3, 3, 4, 6)))
