@@ -222,3 +222,35 @@ def test_loader_process_backend_raises_without_skip():
 def test_loader_bad_backend():
     with pytest.raises(ValueError, match="backend"):
         BatchLoader(FlakyDataset(), 1, backend="greenlet")
+
+
+def test_case_cache_is_exact(tmp_path, rng):
+    """cache_cases memoizes the deterministic transform prefix; with the
+    same per-sample seeds the samples must be bitwise identical to the
+    uncached path."""
+    from vnet_tpu.data import rand as vrand
+    from vnet_tpu.data import transforms3d as T
+    from vnet_tpu.data.dataset3d import NiftiDataset3D
+    from fixtures import make_dataset_dir
+
+    make_dataset_dir(str(tmp_path), "training", num_cases=2, rng=rng)
+    tfms = lambda: [
+        T.StatisticalNormalization(2.5),
+        T.Padding([24, 24, 24]),
+        T.RandomCrop([16, 16, 16], drop_ratio=1.0, min_pixel=0),
+        T.RandomNoise(sigma=2.0),
+    ]
+    kw = dict(image_filenames=["image.nii"], label_filename="label.nii",
+              train=True, labels=[0, 1])
+    a = NiftiDataset3D(str(tmp_path / "training"), transforms=tfms(), **kw)
+    b = NiftiDataset3D(str(tmp_path / "training"), transforms=tfms(),
+                       cache_cases=2, **kw)
+    assert b._n_deterministic == 2  # norm + padding cached, crop+noise not
+    for i in range(2):
+        for _ in range(2):  # second pass hits the cache
+            vrand.seed(123 + i)
+            ia, la = a.get_sample(i)
+            vrand.seed(123 + i)
+            ib, lb = b.get_sample(i)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)

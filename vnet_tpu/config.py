@@ -58,6 +58,7 @@ class NetworkConfig:
     # width — the measured optimum, BENCHMARKS.md exp11). 0 = legacy full
     # packing. Exact rewrite either way; checkpoints interchange.
     packed_target_lanes: int = 128
+    dropout_impl: str = "xla"  # "xla" | "pallas" (models/layers.py Dropout)
 
 
 @dataclass
@@ -129,6 +130,10 @@ class TrainingConfig:
     # transform chains at production scale)
     loader_workers: int = 2
     loader_backend: str = "thread"
+    # memoize decode + the deterministic transform prefix for this many
+    # cases (exact; measured 5.2x loader throughput —
+    # scripts/benchmark_loader.py). 0 = off.
+    cache_cases: int = 0
 
     @property
     def dimension(self) -> int:
@@ -192,6 +197,7 @@ def _network_config(tree: dict) -> NetworkConfig:
         attention=bool(net.get("Attention", False)),
         norm=net.get("Norm", "batch"),
         packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
+        dropout_impl=str(net.get("DropoutImpl", "xla")),
     )
 
 
@@ -251,6 +257,7 @@ def parse_config(tree: dict) -> Config:
         device_augment=bool(ts.get("DeviceAugment", False)),
         loader_workers=int(ts.get("LoaderWorkers", 2)),
         loader_backend=ts.get("LoaderBackend", "thread"),
+        cache_cases=int(ts.get("CacheCases", 0)),
         mesh_data_parallel=int(ts.get("Mesh", {}).get("DataParallel", 0)
                                if isinstance(ts.get("Mesh"), dict) else 0),
         mesh_dcn_parallel=int(ts.get("Mesh", {}).get("DcnDataParallel", 0)

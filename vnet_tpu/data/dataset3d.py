@@ -8,6 +8,7 @@ loader (``vnet_tpu.data.loader``) parallelizes and batches.
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -60,7 +61,7 @@ class NiftiDataset3D:
     def __init__(self, data_dir: str = "", image_filenames=("image.nii",),
                  label_filename: str = "label.nii", transforms=None,
                  train: bool = False, labels: Sequence[int] = (0, 1),
-                 attention: bool = False):
+                 attention: bool = False, cache_cases: int = 0):
         self.data_dir = data_dir
         self.image_filenames = list(image_filenames)
         self.label_filename = label_filename
@@ -72,6 +73,23 @@ class NiftiDataset3D:
         # vnet_tpu.data.distance)
         self.attention = attention
         self.cases = list_cases(data_dir)
+        # cache_cases > 0: memoize decode + the DETERMINISTIC transform
+        # prefix (everything before the first transform marked
+        # ``stochastic = True``) per case, LRU-bounded. The reference
+        # re-reads and re-resamples the whole volume for every crop
+        # (`NiftiDataset3D.py:62-165`); with ~0.3-0.4 s/case of
+        # decode+resample vs ~0.1 s of stochastic tail (measured,
+        # scripts/benchmark_loader.py) this is a 3-4x loader speedup with
+        # bitwise-identical samples. Per-process cache: with the process
+        # loader backend each worker holds its own copy.
+        self.cache_cases = int(cache_cases)
+        self._prefix_cache = OrderedDict()
+        n_det = 0
+        for t in self.transforms:
+            if getattr(t, "stochastic", False):
+                break
+            n_det += 1
+        self._n_deterministic = n_det
 
     def __len__(self):
         return len(self.cases)
@@ -79,6 +97,21 @@ class NiftiDataset3D:
     @property
     def data_size(self):
         return len(self.cases)
+
+    def warm_cache(self):
+        """Fill the deterministic-prefix cache up front (parent process).
+        With the fork-based process loader backend, workers are re-forked
+        each epoch and would rebuild their caches from scratch; warming in
+        the parent lets every fork inherit the cache via copy-on-write."""
+        if self.cache_cases <= 0 or self._n_deterministic == 0:
+            return
+        for case in self.cases[:self.cache_cases]:
+            if case in self._prefix_cache:
+                continue
+            sample = self.load_case(case)
+            for t in self.transforms[:self._n_deterministic]:
+                sample = t(sample)
+            self._prefix_cache[case] = sample
 
     def load_case(self, case: str):
         """Read + header-check + remap, no transforms. Returns the sample
@@ -110,14 +143,39 @@ class NiftiDataset3D:
         """Parse one case through the transform chain
         (`NiftiDataset3D.py:62-165`)."""
         case = self.cases[index]
-        sample = self.load_case(case)
-        for transform in self.transforms:
-            try:
-                sample = transform(sample)
-            except Exception as e:
-                raise RuntimeError(
-                    f"Dataset preprocessing error: {case} transform: "
-                    f"{getattr(transform, 'name', transform)}: {e}") from e
+
+        def apply(sample, transforms):
+            for transform in transforms:
+                try:
+                    sample = transform(sample)
+                except Exception as e:
+                    raise RuntimeError(
+                        f"Dataset preprocessing error: {case} transform: "
+                        f"{getattr(transform, 'name', transform)}: {e}"
+                    ) from e
+            return sample
+
+        if self.cache_cases > 0 and self._n_deterministic > 0:
+            if case not in self._prefix_cache:
+                pre = apply(self.load_case(case),
+                            self.transforms[:self._n_deterministic])
+                self._prefix_cache[case] = pre
+                while len(self._prefix_cache) > self.cache_cases:
+                    self._prefix_cache.popitem(last=False)
+            else:
+                self._prefix_cache.move_to_end(case)
+            cached = self._prefix_cache[case]
+            # hand downstream transforms their own copies: some mutate
+            # pixel data in place
+            sample = {
+                "image": [im.like(np.array(im.data, copy=True))
+                          for im in cached["image"]],
+                "label": cached["label"].like(
+                    np.array(cached["label"].data, copy=True)),
+            }
+            sample = apply(sample, self.transforms[self._n_deterministic:])
+        else:
+            sample = apply(self.load_case(case), self.transforms)
 
         image_np = np.stack(
             [np.asarray(im.data, dtype=np.float32) for im in sample["image"]],

@@ -220,6 +220,14 @@ class BatchLoader:
         a new leading batch dim — ``(images, labels[, distance_maps, ...])``.
         """
         order = self._order()
+        if self.backend == "process" and not getattr(self, "_warmed", False):
+            # datasets with a deterministic-prefix cache warm it in the
+            # parent so per-epoch forked workers inherit it (COW) instead
+            # of rebuilding it from scratch every epoch
+            warm = getattr(self.dataset, "warm_cache", None)
+            if warm is not None:
+                warm()
+            self._warmed = True
         if self.num_workers <= 0:
             it = self._iter_samples_sync(order)
         elif self.backend == "process":

@@ -66,6 +66,8 @@ class RandomFlip:
     """Flip all listed axes together with p=0.5
     (`NiftiDataset3D.py:187-208`). ``axes`` is a length-3 bool list."""
 
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
+
     def __init__(self, axes):
         self.name = "Flip"
         assert 0 < len(axes) <= 3
@@ -236,6 +238,8 @@ class RandomCrop:
     least ``min_pixel`` labelled voxels, accepting empty crops with
     probability ``drop_ratio`` (`NiftiDataset3D.py:458-551`)."""
 
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
+
     def __init__(self, output_size, drop_ratio=0.1, min_pixel=1):
         self.name = "Random Crop"
         if isinstance(output_size, int):
@@ -290,6 +294,8 @@ class RandomCrop:
 class RandomNoise:
     """Additive Gaussian noise, mean 0 (`NiftiDataset3D.py:553-572`)."""
 
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
+
     def __init__(self, sigma=5):
         self.name = "Random Noise"
         self.sigma = sigma
@@ -317,6 +323,8 @@ def _connected_components(binary: np.ndarray):
 class ConfidenceCrop:
     """Crop around a randomly chosen connected-component centroid with a
     Gaussian offset (`NiftiDataset3D.py:574-659`)."""
+
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
 
     def __init__(self, output_size, sigma=2.5):
         self.name = "Confidence Crop"
@@ -371,6 +379,8 @@ class ConfidenceCrop2:
     boxes (`NiftiDataset3D.py:661-793`): with probability ``probability``
     crop near a random CC bbox center jittered by ``rand_range``; otherwise
     crop a random (optionally label-free) region."""
+
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
 
     def __init__(self, output_size, rand_range=3, probability=0.5,
                  random_empty_region=False):
@@ -465,6 +475,8 @@ class BSplineDeformation:
     BSplineTransform parameters) on a 10^3 mesh, upsampled with cubic
     interpolation to a dense displacement field, applied to image (linear)
     and label (nearest)."""
+
+    stochastic = True  # uses RNG: not cacheable as a deterministic prefix
 
     MESH = (10, 10, 10)
     SPLINE_ORDER = 3

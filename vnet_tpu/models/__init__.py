@@ -26,7 +26,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_channels: int = 16, num_levels: int = 4,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
                   activation: str = None, norm: str = "batch", dtype=None,
-                  conv_impl: str = "packed", packed_target_lanes: int = 128):
+                  conv_impl: str = "packed", packed_target_lanes: int = 128,
+                  dropout_impl: str = "xla"):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -63,7 +64,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 bottom_convolutions=bottom_convolutions,
                 dropout_rate=dropout_rate, activation=activation or "prelu",
                 norm=norm, dtype=dtype, conv_impl=conv_impl,
-                packed_target_lanes=packed_target_lanes)
+                packed_target_lanes=packed_target_lanes,
+                dropout_impl=dropout_impl)
 
 
 __all__ = [

@@ -642,3 +642,33 @@ class UpConv(nn.Module):
         x = Norm(self.norm, self.dtype, self.param_dtype, name="norm")(x, train)
         x = Activation(self.activation, self.param_dtype, name="act")(x)
         return x
+
+
+class Dropout(nn.Module):
+    """Dropout with selectable implementation.
+
+    * ``impl="xla"`` — flax ``nn.Dropout`` (rng-bit-generator writes a
+      full random tensor to HBM; the select fusion reads it back).
+    * ``impl="pallas"`` — fused kernel with in-VMEM PRNG
+      (`vnet_tpu/ops/pallas/dropout.py`): the mask never touches HBM and
+      the backward regenerates it from the seed instead of materializing
+      a pred tensor. Same keep probability (exact to 2^-32), different
+      random stream than flax's threefry/rbg.
+    """
+
+    rate: float
+    impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = False):
+        if deterministic or self.rate == 0.0:
+            return x
+        if self.impl == "pallas":
+            from ..ops.pallas.dropout import pallas_dropout
+            key = self.make_rng("dropout")
+            seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+            # CPU (tests / virtual meshes) runs the TPU interpreter —
+            # NB it stubs the PRNG to zeros, i.e. keeps everything
+            interpret = jax.default_backend() != "tpu"
+            return pallas_dropout(x, seed, float(self.rate), interpret)
+        return nn.Dropout(rate=self.rate, deterministic=False)(x)

@@ -34,7 +34,7 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import Activation, DownConv, Norm, UpConv, conv
+from .layers import Activation, DownConv, Dropout, Norm, UpConv, conv
 
 
 def adaptive_factors(spatial, ch, target_lanes):
@@ -70,6 +70,7 @@ class ConvBlock(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
+    dropout_impl: str = "xla"  # see layers.Dropout
     # packed-mode plumbing (decided by the caller, see VNet._level_packed):
     # when packed_mode, the block runs in the s2d domain; pack_input=False
     # means x arrives already packed; unpack_output=False returns packed.
@@ -103,8 +104,8 @@ class ConvBlock(nn.Module):
                          name=f"norm_{i + 1}")(x, train)
                 x = Activation(self.activation, self.param_dtype, groups,
                                name=f"act_{i + 1}")(x)
-                x = nn.Dropout(rate=self.dropout_rate,
-                               deterministic=not train)(x)
+                x = Dropout(self.dropout_rate, self.dropout_impl,
+                            name=f"dropout_{i + 1}")(x, not train)
             return (depth_to_space(x, factors=factors)
                     if self.unpack_output else x)
 
@@ -121,8 +122,8 @@ class ConvBlock(nn.Module):
                      name=f"norm_{i + 1}")(x, train)
             x = Activation(self.activation, self.param_dtype,
                            name=f"act_{i + 1}")(x)
-            x = nn.Dropout(rate=self.dropout_rate,
-                           deterministic=not train)(x)
+            x = Dropout(self.dropout_rate, self.dropout_impl,
+                        name=f"dropout_{i + 1}")(x, not train)
         return x
 
 
@@ -138,6 +139,7 @@ class DecoderConvBlock(nn.Module):
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
+    dropout_impl: str = "xla"
     packed_mode: bool = False
     skip_packed: bool = False  # the stored encoder skip is already packed
     x_packed: bool = False     # the up-conv output arrives already packed
@@ -175,8 +177,8 @@ class DecoderConvBlock(nn.Module):
                          name=f"norm_{i + 1}")(x, train)
                 x = Activation(self.activation, self.param_dtype, groups,
                                name=f"act_{i + 1}")(x)
-                x = nn.Dropout(rate=self.dropout_rate,
-                               deterministic=not train)(x)
+                x = Dropout(self.dropout_rate, self.dropout_impl,
+                            name=f"dropout_{i + 1}")(x, not train)
             return (depth_to_space(x, factors=factors)
                     if self.unpack_output else x)
 
@@ -201,8 +203,8 @@ class DecoderConvBlock(nn.Module):
                      name=f"norm_{i + 1}")(x, train)
             x = Activation(self.activation, self.param_dtype,
                            name=f"act_{i + 1}")(x)
-            x = nn.Dropout(rate=self.dropout_rate,
-                           deterministic=not train)(x)
+            x = Dropout(self.dropout_rate, self.dropout_impl,
+                        name=f"dropout_{i + 1}")(x, not train)
         return x
 
 
@@ -229,6 +231,7 @@ class VNet(nn.Module):
     # levels with >=64 channels already feed the MXU reasonably direct,
     # and packing costs 1.73x FLOPs — lowering the cap trades them
     packed_cap: int = 1024
+    dropout_impl: str = "xla"  # "xla" | "pallas" (layers.Dropout)
     # >0 enables per-level ADAPTIVE packing: each level packs only as many
     # axes (factor 2, leading axes first) as needed to reach this many
     # packed channels — e.g. 128 (the MXU lane width) gives 16ch -> pack
@@ -313,6 +316,7 @@ class VNet(nn.Module):
                           self.activation, self.dropout_rate, self.dtype,
                           self.param_dtype,
                           block_impl if enc_p else fallback_impl,
+                          dropout_impl=self.dropout_impl,
                           packed_mode=enc_p,
                           unpack_output=not enc_p, packed_factors=enc_f,
                           name=f"encoder_level_{level + 1}")(x, train)
@@ -328,6 +332,7 @@ class VNet(nn.Module):
                       self.activation, self.dropout_rate, self.dtype,
                       self.param_dtype,
                       block_impl if bot_p else fallback_impl,
+                      dropout_impl=self.dropout_impl,
                       packed_mode=bot_p, packed_factors=bot_f,
                       name="bottom")(x, train)
 
@@ -354,6 +359,7 @@ class VNet(nn.Module):
                                  self.activation, self.dropout_rate,
                                  self.dtype, self.param_dtype,
                                  block_impl if dec_p else fallback_impl,
+                                 dropout_impl=self.dropout_impl,
                                  packed_mode=dec_p, skip_packed=skip_p,
                                  x_packed=dec_p,
                                  unpack_output=not keep_packed,

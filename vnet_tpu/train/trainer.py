@@ -182,7 +182,8 @@ class Trainer:
             num_convolutions=net_cfg.num_convolutions,
             bottom_convolutions=net_cfg.bottom_convolutions,
             norm=net_cfg.norm,
-            packed_target_lanes=net_cfg.packed_target_lanes, dtype=self.dtype)
+            packed_target_lanes=net_cfg.packed_target_lanes,
+            dropout_impl=net_cfg.dropout_impl, dtype=self.dtype)
 
         self.tx, self.lr_schedule = build_optimizer(self.t.optimizer)
         self._train_step_fn = None
@@ -341,7 +342,8 @@ class Trainer:
                 data_dir, self.t.image_filenames, self.t.label_filename,
                 transforms=transforms, train=True,
                 labels=self.t.segmentation_classes,
-                attention=self.is_attention)
+                attention=self.is_attention,
+                cache_cases=self.t.cache_cases)
         return BatchLoader(ds, self.t.batch_size, shuffle=True,
                            drop_remainder=True,
                            num_workers=self.t.loader_workers,
