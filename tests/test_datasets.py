@@ -254,3 +254,36 @@ def test_case_cache_is_exact(tmp_path, rng):
             ib, lb = b.get_sample(i)
             np.testing.assert_array_equal(ia, ib)
             np.testing.assert_array_equal(la, lb)
+
+
+def test_case_cache_is_exact_2d(tmp_path, rng):
+    """NiftiDataset2D cache_cases: identical samples with/without cache."""
+    from vnet_tpu.data import rand as vrand
+    from vnet_tpu.data import transforms3d as T3
+    from vnet_tpu.data import transforms2d as T2
+    from vnet_tpu.data.dataset2d import NiftiDataset2D
+    from fixtures import make_dataset_dir
+
+    make_dataset_dir(str(tmp_path), "training", num_cases=2, rng=rng)
+    t3 = lambda: [T3.StatisticalNormalization(2.5),
+                  T3.Padding([24, 24, 16])]
+    t2 = lambda: [T2.Padding([24, 24]),
+                  T2.RandomCrop([16, 16], drop_ratio=1.0, min_pixel=0)]
+    kw = dict(image_filenames=["image.nii"], label_filename="label.nii",
+              train=True, labels=[0, 1], min_pixel=0, drop_ratio=1.0)
+    vrand.seed(7)
+    a = NiftiDataset2D(str(tmp_path / "training"), transforms3D=t3(),
+                       transforms2D=t2(), **kw)
+    vrand.seed(7)
+    b = NiftiDataset2D(str(tmp_path / "training"), transforms3D=t3(),
+                       transforms2D=t2(), cache_cases=2, **kw)
+    assert b._n_det3d == 2
+    assert a.slices == b.slices
+    for i in range(min(4, len(a.slices))):
+        for _ in range(2):
+            vrand.seed(55 + i)
+            ia, la = a.get_sample(i)
+            vrand.seed(55 + i)
+            ib, lb = b.get_sample(i)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)

@@ -11,6 +11,7 @@ transforms to the volume, extract the slice, then apply 2D transforms
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -52,7 +53,7 @@ class NiftiDataset2D:
                  label_filename: str = "label.nii", transforms3D=None,
                  transforms2D=None, train: bool = False,
                  labels: Sequence[int] = (0, 1), min_pixel: int = 5,
-                 drop_ratio: float = 0.1):
+                 drop_ratio: float = 0.1, cache_cases: int = 0):
         self.data_dir = data_dir
         self.image_filenames = list(image_filenames)
         self.label_filename = label_filename
@@ -62,7 +63,45 @@ class NiftiDataset2D:
         self.labels = list(labels)
         self.min_pixel = min_pixel
         self.drop_ratio = drop_ratio
+        # memoize decode + the deterministic 3D-transform prefix per case
+        # (same design as NiftiDataset3D.cache_cases — the 2D path re-reads
+        # the WHOLE 3D volume for every slice sample, so this is the
+        # difference between O(volume) and O(slice) per sample)
+        self.cache_cases = int(cache_cases)
+        self._prefix_cache = OrderedDict()
+        n_det = 0
+        for t in self.transforms3D:
+            if getattr(t, "stochastic", False):
+                break
+            n_det += 1
+        self._n_det3d = n_det
         self.slices: List[Tuple[str, int]] = self._build_inventory()
+
+    def warm_cache(self):
+        """See NiftiDataset3D.warm_cache (parent-side COW warm-up)."""
+        if self.cache_cases <= 0 or self._n_det3d == 0:
+            return
+        for case in list_cases(self.data_dir)[:self.cache_cases]:
+            self._cached_volume(case)
+
+    def _cached_volume(self, case: str):
+        """Load + deterministic 3D prefix for ``case``, memoized."""
+        if case in self._prefix_cache:
+            self._prefix_cache.move_to_end(case)
+        else:
+            sample = self._load_case(case)
+            for t in self.transforms3D[:self._n_det3d]:
+                sample = t(sample)
+            self._prefix_cache[case] = sample
+            while len(self._prefix_cache) > self.cache_cases:
+                self._prefix_cache.popitem(last=False)
+        cached = self._prefix_cache[case]
+        return {
+            "image": [im.like(np.array(im.data, copy=True))
+                      for im in cached["image"]],
+            "label": cached["label"].like(
+                np.array(cached["label"].data, copy=True)),
+        }
 
     def _build_inventory(self) -> List[Tuple[str, int]]:
         rng = get_rng()
@@ -89,8 +128,7 @@ class NiftiDataset2D:
     def _extract_slice(self, img: MedicalImage, z: int) -> MedicalImage:
         return extract_slice(img, z)
 
-    def get_sample(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
-        case, z = self.slices[index]
+    def _load_case(self, case: str):
         images = []
         for fname in self.image_filenames:
             path = os.path.join(self.data_dir, case, fname)
@@ -104,9 +142,17 @@ class NiftiDataset2D:
             label = remap_label(label, self.labels)
         else:
             label = zeros_like_geometry(images[0])
+        return {"image": images, "label": label}
 
-        sample = {"image": images, "label": label}
-        for transform in self.transforms3D:
+    def get_sample(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
+        case, z = self.slices[index]
+        if self.cache_cases > 0 and self._n_det3d > 0:
+            sample = self._cached_volume(case)
+            rest3d = self.transforms3D[self._n_det3d:]
+        else:
+            sample = self._load_case(case)
+            rest3d = self.transforms3D
+        for transform in rest3d:
             sample = transform(sample)
 
         images2d = [self._extract_slice(im, z) for im in sample["image"]]

@@ -336,7 +336,8 @@ class Trainer:
                 data_dir, self.t.image_filenames, self.t.label_filename,
                 transforms3D=transforms["3D"], transforms2D=transforms["2D"],
                 train=True, labels=self.t.segmentation_classes,
-                min_pixel=self.t.min_pixel, drop_ratio=self.t.drop_ratio)
+                min_pixel=self.t.min_pixel, drop_ratio=self.t.drop_ratio,
+                cache_cases=self.t.cache_cases)
         else:
             ds = NiftiDataset3D(
                 data_dir, self.t.image_filenames, self.t.label_filename,
