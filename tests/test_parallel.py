@@ -168,3 +168,39 @@ def test_tensor_parallel_conv_matches_unsharded():
 
     with pytest.raises(ValueError, match="not divisible"):
         tp_conv(mesh, xs, jnp.zeros((3, 3, 3, 4, 6)))
+
+
+class _FakeSlicedDevice:
+    """Minimal attribute surface mesh_utils.create_hybrid_device_mesh uses."""
+
+    def __init__(self, i, slice_index):
+        self.id = i
+        self.slice_index = slice_index
+        self.process_index = slice_index
+        self.platform = "tpu"
+        self.device_kind = "TPU v5e (fake)"
+        self.coords = (i % 2, (i // 2) % 2, 0)
+        self.core_on_chip = 0
+
+    def __repr__(self):
+        return f"FakeDev({self.id}, slice={self.slice_index})"
+
+
+def test_multislice_mesh_hybrid_branch_with_topology():
+    """With a real slice topology the hybrid (DCN-aware) mesh builder runs:
+    the data axis is DCN-major so each contiguous ICI block stays inside
+    one slice — and misconfigurations propagate instead of silently
+    falling back (round-1 ADVICE: the old except swallowed everything)."""
+    from vnet_tpu.parallel.mesh import make_multislice_mesh
+
+    devs = [_FakeSlicedDevice(i, i // 4) for i in range(8)]
+    mesh = make_multislice_mesh(ici_data_parallel=4, dcn_data_parallel=2,
+                                devices=devs)
+    grid = np.asarray(mesh.devices).reshape(8)
+    assert {d.slice_index for d in grid[:4]} == {0}
+    assert {d.slice_index for d in grid[4:]} == {1}
+
+    # a topology-present misconfiguration must raise, not fall back
+    with pytest.raises(Exception):
+        make_multislice_mesh(ici_data_parallel=8, dcn_data_parallel=1,
+                             devices=devs)

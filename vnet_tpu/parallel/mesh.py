@@ -67,7 +67,8 @@ def shard_batch(mesh: Mesh, *arrays):
 
 def make_multislice_mesh(ici_data_parallel: int = 0,
                          dcn_data_parallel: int = 0,
-                         space_parallel: int = 1) -> Mesh:
+                         space_parallel: int = 1,
+                         devices: Optional[Sequence] = None) -> Mesh:
     """Mesh for multi-slice deployments: the ``data`` axis spans
     DCN-major × ICI-minor so gradient all-reduce hierarchically reduces
     inside each slice over ICI first, then once across slices over DCN
@@ -78,7 +79,7 @@ def make_multislice_mesh(ici_data_parallel: int = 0,
     topology (CPU meshes, single slice) — same axis names, so calling
     code is identical either way.
     """
-    devices = jax.devices()
+    devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dcn_data_parallel <= 0:
         slice_ids = {getattr(d, "slice_index", 0) for d in devices}
