@@ -27,6 +27,7 @@ def main():
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--classes", type=int, default=3)
     p.add_argument("--gaussian", action="store_true")
+    p.add_argument("--blend-impl", default="xla", choices=["xla", "pallas"])
     p.add_argument("--reps", type=int, default=3)
     args = p.parse_args()
 
@@ -52,7 +53,8 @@ def main():
 
     engine = SlidingWindowInference(
         apply_fn, (args.patch,) * 3, (args.stride,) * 3, args.batch,
-        args.classes, gaussian_blend=args.gaussian)
+        args.classes, gaussian_blend=args.gaussian,
+        blend_impl=args.blend_impl)
 
     host = np.random.default_rng(0)
     t0 = time.perf_counter()
@@ -76,7 +78,8 @@ def main():
     med = statistics.median(times)
     n = len(engine._compiled)
     print(f"{args.size}^3 sliding window stride={args.stride} "
-          f"batch={args.batch} gaussian={args.gaussian}: "
+          f"batch={args.batch} gaussian={args.gaussian} "
+          f"blend={args.blend_impl}: "
           f"median {med:.2f}s over {args.reps} reps")
 
 

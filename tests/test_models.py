@@ -217,3 +217,38 @@ def test_convblock_packed_non_leading_factors_match_direct():
                   packed_factors=(1, 2, 2))
     out = np.asarray(m.apply(variables, x, train=False))
     np.testing.assert_allclose(out, out_ref, atol=2e-4)
+
+
+def test_attention_remat_matches_plain():
+    """remat=True is a pure memory/recompute trade — outputs and grads
+    are identical (same params, same rngs)."""
+    x = jnp.ones((1, 8, 8, 8, 1), jnp.float32)
+    kw = dict(num_classes=2, num_channels=4, num_levels=2,
+              num_convolutions=(1, 1), bottom_convolutions=1,
+              attention_channels=8, dropout_rate=0.0)
+    plain = AttentionGatedVNet(**kw)
+    remat = AttentionGatedVNet(remat=True, **kw)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = plain.init(rngs, x, train=False)
+    # same parameter structure: remat wrapping must not rename scopes
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(remat.init(rngs, x, train=False)))
+
+    out_p, att_p = plain.apply(variables, x, train=False)
+    out_r, att_r = remat.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m):
+        def f(params):
+            out, mut = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.sum(out[0] ** 2)
+        return jax.grad(f)(variables["params"])
+
+    gp, gr = loss(plain), loss(remat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6), gp, gr)

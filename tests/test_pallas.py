@@ -102,3 +102,40 @@ def test_bn_grad_stats_kernel():
     np.testing.assert_allclose(np.asarray(sdx),
                                np.asarray(jnp.sum(dy * xhat, axis=(0, 1))),
                                rtol=1e-4)
+
+
+def test_blend_accumulate_patches_matches_numpy(rng):
+    from vnet_tpu.ops.pallas import blend_accumulate_patches
+    D, H, W, C = 12, 10, 8, 3
+    pd, ph, pw = 6, 4, 4
+    n = 4
+    acc = rng.random((D, H, W, C)).astype(np.float32)
+    probs = rng.random((n, pd, ph, pw, C)).astype(np.float32)
+    starts = np.array([[0, 0, 0], [6, 6, 4], [2, 3, 1], [2, 3, 1]],
+                      np.int32)  # unaligned + duplicated (padded-tail) starts
+
+    got = blend_accumulate_patches(
+        jnp.asarray(acc), jnp.asarray(probs), jnp.asarray(starts),
+        slab_bytes=ph * pw * C * 4 * 2,  # force multi-slab path
+        interpret=True)
+
+    exp = acc.copy()
+    for i, (sd, sh, sw) in enumerate(starts):
+        exp[sd:sd + pd, sh:sh + ph, sw:sw + pw] += probs[i]
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5)
+
+
+def test_blend_accumulate_patches_2d(rng):
+    from vnet_tpu.ops.pallas import blend_accumulate_patches
+    H, W, C = 16, 12, 2
+    ph, pw = 8, 6
+    acc = np.zeros((H, W, C), np.float32)
+    probs = rng.random((3, ph, pw, C)).astype(np.float32)
+    starts = np.array([[0, 0], [8, 6], [5, 3]], np.int32)
+
+    got = blend_accumulate_patches(jnp.asarray(acc), jnp.asarray(probs),
+                                   jnp.asarray(starts), interpret=True)
+    exp = acc.copy()
+    for i, (sh, sw) in enumerate(starts):
+        exp[sh:sh + ph, sw:sw + pw] += probs[i]
+    np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5)

@@ -179,3 +179,33 @@ def test_hard_accumulate_reference_averaging_semantics():
     # softmax channels are still a valid distribution after weighting
     np.testing.assert_allclose(
         (acc[..., 1] + acc[..., 2]) / weight, 1.0, atol=1e-5)
+
+
+@pytest.mark.parametrize("gaussian_blend,hard", [(False, False),
+                                                 (True, False),
+                                                 (False, True)])
+def test_pallas_blend_matches_xla(rng, gaussian_blend, hard):
+    """blend_impl='pallas' is an exact rewrite of the XLA scatter-add
+    (same math, weight rides as an accumulator channel)."""
+    def apply_fn(variables, patches):
+        v = patches[..., 0]
+        return jnp.stack([jnp.sin(v), jnp.cos(v)], axis=-1)
+
+    vol = rng.normal(size=(10, 9, 8, 1)).astype(np.float32)
+    kw = dict(patch_shape=(4, 4, 4), stride=(3, 3, 3), batch_size=3,
+              num_classes=2, gaussian_blend=gaussian_blend,
+              hard_accumulate=hard)
+    ref_acc, ref_w = SlidingWindowInference(apply_fn, **kw)({}, vol)
+    got_acc, got_w = SlidingWindowInference(apply_fn, blend_impl="pallas",
+                                            **kw)({}, vol)
+    np.testing.assert_allclose(np.asarray(got_acc), np.asarray(ref_acc),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_blend_rejects_mesh():
+    with pytest.raises(NotImplementedError):
+        SlidingWindowInference(lambda v, p: p, (4, 4, 4), (4, 4, 4),
+                               batch_size=1, num_classes=2,
+                               mesh=object(), blend_impl="pallas")

@@ -59,6 +59,9 @@ class NetworkConfig:
     # packing. Exact rewrite either way; checkpoints interchange.
     packed_target_lanes: int = 128
     dropout_impl: str = "xla"  # "xla" | "pallas" (models/layers.py Dropout)
+    # rematerialize the attention/output heads (AttentionVNet only):
+    # trades recompute for live-activation memory in the backward pass
+    remat: bool = False
 
 
 @dataclass
@@ -163,6 +166,10 @@ class EvaluationConfig:
     pipeline_path: str = ""
     # TPU-native extension: cosine-window (Gaussian-like) patch blending
     gaussian_blend: bool = False
+    # TPU-native extension: blend accumulation implementation — "xla"
+    # (dynamic_update_slice chains) or "pallas" (in-place DMA kernel,
+    # ops/pallas/fused.py::blend_accumulate_patches); identical math
+    blend_impl: str = "xla"
     # "argmax" (modern, model.py:934) or "average_hard" — the legacy
     # evaluator's hard-prediction averaging, rint(sum(pred)/visits + 0.01)
     # (`/root/reference/evaluate.py:264-271`)
@@ -198,6 +205,7 @@ def _network_config(tree: dict) -> NetworkConfig:
         norm=net.get("Norm", "batch"),
         packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
         dropout_impl=str(net.get("DropoutImpl", "xla")),
+        remat=bool(net.get("Remat", False)),
     )
 
 
@@ -285,6 +293,7 @@ def parse_config(tree: dict) -> Config:
             es.get("MaskProbabilityWithLabel", False)),
         pipeline_path=es.get("Pipeline", train.pipeline_path),
         gaussian_blend=bool(es.get("GaussianBlend", False)),
+        blend_impl=str(es.get("BlendImpl", "xla")),
     )
 
     if len(evaluate.stride) != len(patch_shape):

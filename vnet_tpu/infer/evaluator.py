@@ -79,10 +79,14 @@ class Evaluator:
             raise ValueError(
                 "LabelMode 'average_hard' is the legacy 3D evaluator mode "
                 "(/root/reference/evaluate.py is 3D-only)")
+        blend_impl = self.e.blend_impl
+        if blend_impl == "pallas" and mesh is not None:
+            blend_impl = "xla"  # sharded grids use the XLA scatter-add
         self.engine = SlidingWindowInference(
             apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
             self.t.num_classes, gaussian_blend=self.e.gaussian_blend,
-            mesh=mesh, hard_accumulate=self.hard_mode)
+            mesh=mesh, hard_accumulate=self.hard_mode,
+            blend_impl=blend_impl)
         if mesh is not None:
             # weights may come from a trainer mesh with fewer devices;
             # re-replicate them onto the evaluation mesh

@@ -84,7 +84,8 @@ class SlidingWindowInference:
     def __init__(self, apply_fn, patch_shape: Sequence[int],
                  stride: Sequence[int], batch_size: int, num_classes: int,
                  gaussian_blend: bool = False, mesh=None,
-                 mesh_axis: str = "data", hard_accumulate: bool = False):
+                 mesh_axis: str = "data", hard_accumulate: bool = False,
+                 blend_impl: str = "xla"):
         self.apply_fn = apply_fn
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.stride = tuple(int(s) for s in stride)
@@ -105,6 +106,18 @@ class SlidingWindowInference:
         # 264-271`: label = rint(sum(pred)/visits + 0.01). Channel 0 of the
         # returned accumulator is the pred sum; channels 1..C the softmax.
         self.hard_accumulate = bool(hard_accumulate)
+        # blend_impl: "xla" scatter-adds via dynamic_update_slice chains;
+        # "pallas" routes the accumulation through one in-place DMA kernel
+        # (`ops/pallas/fused.py::blend_accumulate_patches`) with the blend
+        # weight riding as an extra accumulator channel. Identical math.
+        if blend_impl not in ("xla", "pallas"):
+            raise ValueError(f"blend_impl must be 'xla'|'pallas', "
+                             f"got {blend_impl!r}")
+        if blend_impl == "pallas" and mesh is not None:
+            raise NotImplementedError(
+                "blend_impl='pallas' with a sharded patch grid is not "
+                "supported; use the XLA blend under shard_map")
+        self.blend_impl = blend_impl
         self._compiled = {}
 
     # ------------------------------------------------------------------
@@ -125,6 +138,41 @@ class SlidingWindowInference:
         varying_axis = self.mesh_axis if self.mesh is not None else None
 
         acc_channels = self.num_classes + (1 if self.hard_accumulate else 0)
+
+        if self.blend_impl == "pallas":
+            from ..ops.pallas import blend_accumulate_patches
+            # CPU (tests / virtual meshes) runs the TPU interpreter
+            interpret = jax.default_backend() != "tpu"
+
+            def run_pallas(variables, volume, starts):
+                # blend weight rides as channel 0 so non-uniform windows
+                # accumulate exactly alongside the softmax channels
+                acc = jnp.zeros(vol_shape[:-1] + (1 + acc_channels,),
+                                jnp.float32)
+
+                def body(b, acc):
+                    batch_starts = jax.lax.dynamic_slice(
+                        starts, (b * B, 0), (B, rank))
+                    patches = gather(volume, batch_starts)
+                    logits = self.apply_fn(variables, patches)
+                    probs = jax.nn.softmax(logits.astype(jnp.float32),
+                                           axis=-1)
+                    if self.hard_accumulate:
+                        pred = jnp.argmax(probs, axis=-1)
+                        probs = jnp.concatenate(
+                            [pred.astype(jnp.float32)[..., None], probs],
+                            axis=-1)
+                    wb = jnp.broadcast_to(window[None, ..., None],
+                                          (B,) + patch + (1,))
+                    contrib = jnp.concatenate(
+                        [wb, probs * window[..., None]], axis=-1)
+                    return blend_accumulate_patches(
+                        acc, contrib, batch_starts, interpret=interpret)
+
+                acc = jax.lax.fori_loop(0, num_batches, body, acc)
+                return acc[..., 1:], acc[..., 0]
+
+            return jax.jit(run_pallas)
 
         def run(variables, volume, starts):
             acc = jnp.zeros(vol_shape[:-1] + (acc_channels,), jnp.float32)

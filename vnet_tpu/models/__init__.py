@@ -27,7 +27,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
                   activation: str = None, norm: str = "batch", dtype=None,
                   conv_impl: str = "packed", packed_target_lanes: int = 128,
-                  dropout_impl: str = "xla"):
+                  dropout_impl: str = "xla", remat: bool = False):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -57,7 +57,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             bottom_convolutions=bottom_convolutions,
             dropout_rate=dropout_rate, activation=activation or "prelu",
             norm=norm, dtype=dtype, conv_impl=conv_impl,
-            packed_target_lanes=packed_target_lanes)
+            packed_target_lanes=packed_target_lanes, remat=remat)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),

@@ -150,6 +150,10 @@ class AttentionGatedVNet(nn.Module):
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
     packed_target_lanes: int = 0  # see VNet.packed_target_lanes
+    # rematerialize the attention/output heads in the backward pass:
+    # their full-resolution 64-channel activations dominate live memory
+    # (and the remote-compile footprint); remat trades them for recompute
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -169,7 +173,13 @@ class AttentionGatedVNet(nn.Module):
             name="vnet")
         logits_vnet = backbone(x, train)
 
-        attention_logits = AttentionModule(
+        att_cls = AttentionModule
+        out_cls = OutputModule
+        if self.remat:
+            att_cls = nn.remat(AttentionModule, static_argnums=(2,))
+            out_cls = nn.remat(OutputModule, static_argnums=(2,))
+
+        attention_logits = att_cls(
             self.num_classes, self.attention_channels, norm=self.norm,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             param_dtype=self.param_dtype, name="attention")(logits_vnet, train)
@@ -178,7 +188,7 @@ class AttentionGatedVNet(nn.Module):
         gate = 1.0 + jax.nn.softmax(attention_logits, axis=-1)
         masked = gate * logits_vnet
 
-        logits = OutputModule(
+        logits = out_cls(
             self.num_classes, self.attention_channels, norm=self.norm,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
             param_dtype=self.param_dtype, name="output_module")(masked, train)

@@ -216,6 +216,90 @@ def bn_grad_stats(dy, x, mean, invstd, *, tile_rows: int = 0,
 # ---------------------------------------------------------------------------
 
 
+def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
+                             interpret: bool = False):
+    """Scatter-add pre-windowed patch contributions into a volume
+    accumulator, in place — the sliding-window blend of
+    `vnet_tpu/infer/sliding_window.py` (reference semantics
+    `/root/reference/model.py:919-929`) as one Pallas pass.
+
+    Per patch slab, one strided DMA pulls the accumulator region
+    HBM->VMEM, the (already window-scaled) contribution adds in VMEM,
+    and one DMA pushes it back. TPU grid iterations run sequentially per
+    core, so overlapping patches are race-free; ``input_output_aliases``
+    updates the accumulator in place, avoiding XLA's copy-on-write
+    ``dynamic_update_slice`` chains. Callers carry the blend-weight plane
+    as an extra channel of ``acc``/``probs`` so weight accumulation rides
+    the same DMA (exact for non-uniform windows).
+
+    Args:
+      acc: ``(*vol_spatial, C)`` float32 — donated/aliased in place.
+      probs: ``(B, *patch_spatial, C)`` float32 — window pre-applied.
+      starts: ``(B, rank)`` int32 patch start corners (any alignment,
+        incl. the clamped last starts of `model.py:881-893`).
+      slab_bytes: VMEM budget per slab; the patch's leading axis is
+        split into equal slabs no larger than this.
+    Returns the updated ``acc``.
+    """
+    b = probs.shape[0]
+    patch = probs.shape[1:-1]
+    c = probs.shape[-1]
+    rank = len(patch)
+    assert starts.shape == (b, rank), (starts.shape, b, rank)
+    assert acc.shape[-1] == c and len(acc.shape) == rank + 1
+
+    # split the patch's leading axis into slabs within the VMEM budget
+    tail = int(np.prod(patch[1:])) * c * 4
+    slab = max(1, min(patch[0], slab_bytes // max(tail, 1)))
+    while patch[0] % slab:
+        slab -= 1
+    n_slabs = patch[0] // slab
+    slab_shape = (slab,) + tuple(patch[1:]) + (c,)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_slabs),
+        in_specs=[
+            pl.BlockSpec((1,) + slab_shape,
+                         lambda i, s, starts: (i, s) + (0,) * rank,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM(slab_shape, jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    def kernel(starts_ref, probs_blk, acc_in, acc_out, scratch, sem):
+        del acc_in  # aliased into acc_out
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+        idx = (pl.ds(starts_ref[i, 0] + s * slab, slab),)
+        for d in range(1, rank):
+            idx += (pl.ds(starts_ref[i, d], patch[d]),)
+        region = acc_out.at[idx + (slice(None),)]
+
+        cp_in = pltpu.make_async_copy(region, scratch, sem)
+        cp_in.start()
+        cp_in.wait()
+        scratch[:] = scratch[:] + probs_blk[0]
+        cp_out = pltpu.make_async_copy(scratch, region, sem)
+        cp_out.start()
+        cp_out.wait()
+
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(acc.shape, acc.dtype)],
+        input_output_aliases={2: 0},  # acc in place
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(starts, probs, acc)
+    return out
+
+
 def blend_accumulate_rows(acc, weight, probs, window, row_starts, *,
                           interpret: bool = False):
     """Scatter-add ``probs * window`` into flat accumulators.

@@ -183,7 +183,8 @@ class Trainer:
             bottom_convolutions=net_cfg.bottom_convolutions,
             norm=net_cfg.norm,
             packed_target_lanes=net_cfg.packed_target_lanes,
-            dropout_impl=net_cfg.dropout_impl, dtype=self.dtype)
+            dropout_impl=net_cfg.dropout_impl, remat=net_cfg.remat,
+            dtype=self.dtype)
 
         self.tx, self.lr_schedule = build_optimizer(self.t.optimizer)
         self._train_step_fn = None
