@@ -252,3 +252,48 @@ def test_attention_remat_matches_plain():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 rtol=1e-5, atol=1e-6), gp, gr)
+
+
+def test_legacy_double_norm_topology():
+    """VNetLegacy (`/root/reference/VNet.py`): every conv normalized both
+    before (pre_norm_i) and after the residual add — EXCEPT the first conv
+    of a multi-conv decoder block, which keeps a single norm
+    (VNet.py:57-61). Packed and direct impls share the pytree and agree."""
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(2, 16, 16, 16, 1)).astype(np.float32))
+
+    def build(**kw):
+        return build_network("VNetLegacy", num_classes=2, num_channels=16,
+                             num_levels=2, num_convolutions=(1, 2),
+                             bottom_convolutions=1, dropout_rate=0.0,
+                             norm="batch", **kw)
+
+    ref = build(conv_impl="direct", packed_target_lanes=0)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    params = variables["params"]
+
+    # encoder level 2 has 2 convs -> both get pre_norm (VNet.py:26-39)
+    assert "pre_norm_1" in params["encoder_level_2"]
+    assert "pre_norm_2" in params["encoder_level_2"]
+    # decoder level 2 has 2 convs -> first conv has NO pre_norm
+    assert "pre_norm_1" not in params["decoder_level_2"]
+    assert "pre_norm_2" in params["decoder_level_2"]
+    # decoder level 1 has 1 conv -> its single conv DOES get pre_norm
+    assert "pre_norm_1" in params["decoder_level_1"]
+
+    # modern VNet must NOT grow pre_norm layers
+    modern = VNet(num_classes=2, num_channels=16, num_levels=2,
+                  num_convolutions=(1, 2), bottom_convolutions=1,
+                  dropout_rate=0.0, norm="batch")
+    vm = modern.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    flat = jax.tree_util.tree_leaves_with_path(vm["params"])
+    assert not any("pre_norm" in jax.tree_util.keystr(p) for p, _ in flat)
+
+    # packed impl: identical pytree + matching outputs
+    out_ref = np.asarray(ref.apply(variables, x, train=False))
+    m = build(conv_impl="packed", packed_target_lanes=128)
+    v2 = m.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+    assert (jax.tree_util.tree_structure(v2["params"])
+            == jax.tree_util.tree_structure(params))
+    out = np.asarray(m.apply(variables, x, train=False))
+    np.testing.assert_allclose(out, out_ref, atol=2e-4)

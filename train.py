@@ -54,6 +54,10 @@ def get_parser():
     p.add_argument("--testing", action="store_true")
     p.add_argument("--attention", action="store_true")
     p.add_argument("--image_log", action="store_true")
+    p.add_argument("--legacy_topology", action="store_true",
+                   help="faithful legacy V-Net topology (VNet.py double "
+                        "norm around residual adds) instead of the modern "
+                        "networks.py block")
     p.add_argument("--pipeline", default="",
                    help="preprocessing pipeline YAML; a minimal "
                         "pad+random-crop pipeline is generated if empty")
@@ -81,8 +85,13 @@ def flags_to_config(args):
                            "drop_ratio": args.drop_ratio,
                            "min_pixel": args.min_pixel}},
         ]}
-        os.makedirs(args.log_dir, exist_ok=True)
-        pipeline = os.path.join(args.log_dir, "pipeline_auto.yaml")
+        # NOT under log_dir: Restore=False wipes log/ckpt dirs
+        # (reference model.py:678-687) and would delete the pipeline
+        # before the loader reads it
+        import tempfile
+        fd, pipeline = tempfile.mkstemp(prefix="pipeline_auto_",
+                                        suffix=".yaml")
+        os.close(fd)
         with open(pipeline, "w") as f:
             yaml.safe_dump({"preprocess": {"train": section, "test": section,
                                            "evaluate": {"3D": section["3D"][:1]}}}, f)
@@ -110,7 +119,9 @@ def flags_to_config(args):
             "LogInterval": args.display_step,
             "DropRatio": args.drop_ratio,
             "MinPixel": args.min_pixel,
-            "Networks": {"Name": "VNet", "Dropout": 0.01, "NumChannel": 16,
+            "Networks": {"Name": ("VNetLegacy" if args.legacy_topology
+                                  else "VNet"),
+                         "Dropout": 0.01, "NumChannel": 16,
                          "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
                          "BottomConvolutions": 3,
                          "Attention": args.attention},

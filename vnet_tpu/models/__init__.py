@@ -16,6 +16,9 @@ from .vnet import VNet
 
 _NETWORKS = {
     "VNet": VNet,
+    # faithful legacy topology (`/root/reference/VNet.py`): double norm
+    # around each residual add; otherwise identical to VNet
+    "VNetLegacy": VNet,
     "UNet": UNet,
     "Dense": Dense,
     "AttentionVNet": AttentionGatedVNet,
@@ -65,7 +68,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 dropout_rate=dropout_rate, activation=activation or "prelu",
                 norm=norm, dtype=dtype, conv_impl=conv_impl,
                 packed_target_lanes=packed_target_lanes,
-                dropout_impl=dropout_impl)
+                dropout_impl=dropout_impl,
+                legacy_double_norm=(name == "VNetLegacy"))
 
 
 __all__ = [

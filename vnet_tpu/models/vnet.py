@@ -60,7 +60,12 @@ def adaptive_factors(spatial, ch, target_lanes):
 
 class ConvBlock(nn.Module):
     """Residual conv block (`networks.py:307-322`): n x [5^r conv ->
-    (+input at last conv) -> norm -> act -> dropout]."""
+    (+input at last conv) -> norm -> act -> dropout].
+
+    ``legacy_double_norm`` reproduces the legacy topology
+    (`/root/reference/VNet.py:26-39`): every conv is normalized once right
+    after the conv (before the residual add) and AGAIN after it — two
+    distinct norm layers per conv."""
 
     num_convolutions: int
     kernel_size: int = 5
@@ -79,6 +84,7 @@ class ConvBlock(nn.Module):
     pack_input: bool = True
     unpack_output: bool = True
     packed_factors: Optional[tuple] = None
+    legacy_double_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -98,6 +104,9 @@ class ConvBlock(nn.Module):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                          packed=True, packed_factors=factors)(x)
+                if self.legacy_double_norm:
+                    x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                             name=f"pre_norm_{i + 1}")(x, train)
                 if i == self.num_convolutions - 1:
                     x = x + block_input
                 x = Norm(self.norm, self.dtype, self.param_dtype, groups,
@@ -116,6 +125,9 @@ class ConvBlock(nn.Module):
             x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                      impl=impl)(x)
+            if self.legacy_double_norm:
+                x = Norm(self.norm, self.dtype, self.param_dtype,
+                         name=f"pre_norm_{i + 1}")(x, train)
             if i == self.num_convolutions - 1:
                 x = x + block_input
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -129,7 +141,12 @@ class ConvBlock(nn.Module):
 
 class DecoderConvBlock(nn.Module):
     """Decoder block (`networks.py:324-365`): concat skip, 5^r convs
-    2n->n, residual from the up-convolved input (see module docstring)."""
+    2n->n, residual from the up-convolved input (see module docstring).
+
+    ``legacy_double_norm`` reproduces `/root/reference/VNet.py:42-74`:
+    double norm around the residual add on every conv EXCEPT the first
+    conv of a multi-conv block, which is normalized once (no residual,
+    VNet.py:57-61)."""
 
     num_convolutions: int
     kernel_size: int = 5
@@ -145,6 +162,13 @@ class DecoderConvBlock(nn.Module):
     x_packed: bool = False     # the up-conv output arrives already packed
     unpack_output: bool = True
     packed_factors: Optional[tuple] = None
+    legacy_double_norm: bool = False
+
+    def _pre_norm(self, i: int) -> bool:
+        # legacy applies the extra pre-residual norm on every conv except
+        # the first conv of a multi-conv block (VNet.py:57-61 vs :63-73)
+        return self.legacy_double_norm and (
+            i > 0 or self.num_convolutions == 1)
 
     @nn.compact
     def __call__(self, x, skip, train: bool = True):
@@ -171,6 +195,9 @@ class DecoderConvBlock(nn.Module):
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                          packed=True, packed_factors=factors,
                          packed_input_splits=(ch, ch) if i == 0 else None)(x)
+                if self._pre_norm(i):
+                    x = Norm(self.norm, self.dtype, self.param_dtype, groups,
+                             name=f"pre_norm_{i + 1}")(x, train)
                 if i == self.num_convolutions - 1:
                     x = x + residual
                 x = Norm(self.norm, self.dtype, self.param_dtype, groups,
@@ -197,6 +224,9 @@ class DecoderConvBlock(nn.Module):
             x = conv(out_ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                      impl=impl)(x)
+            if self._pre_norm(i):
+                x = Norm(self.norm, self.dtype, self.param_dtype,
+                         name=f"pre_norm_{i + 1}")(x, train)
             if i == self.num_convolutions - 1:
                 x = x + residual
             x = Norm(self.norm, self.dtype, self.param_dtype,
@@ -240,6 +270,11 @@ class VNet(nn.Module):
     # faster per conv at L2-L4 (BENCHMARKS.md exp9). 0 = legacy full
     # packing at every level under packed_cap.
     packed_target_lanes: int = 0
+    # Faithful legacy topology (`/root/reference/VNet.py`): double norm
+    # around each residual add — see ConvBlock/DecoderConvBlock. Exposed
+    # as network name "VNetLegacy" (models/build_network) and the legacy
+    # CLI's --legacy_topology flag.
+    legacy_double_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -319,6 +354,7 @@ class VNet(nn.Module):
                           dropout_impl=self.dropout_impl,
                           packed_mode=enc_p,
                           unpack_output=not enc_p, packed_factors=enc_f,
+                          legacy_double_norm=self.legacy_double_norm,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append((x, enc_p, enc_f))
             x = DownConv(2, self.norm, self.activation, self.dtype,
@@ -334,6 +370,7 @@ class VNet(nn.Module):
                       block_impl if bot_p else fallback_impl,
                       dropout_impl=self.dropout_impl,
                       packed_mode=bot_p, packed_factors=bot_f,
+                      legacy_double_norm=self.legacy_double_norm,
                       name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
@@ -364,6 +401,7 @@ class VNet(nn.Module):
                                  x_packed=dec_p,
                                  unpack_output=not keep_packed,
                                  packed_factors=dec_f if dec_p else skip_f,
+                                 legacy_double_norm=self.legacy_double_norm,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skip, train)
             if level == 0:
