@@ -297,3 +297,16 @@ def test_legacy_double_norm_topology():
             == jax.tree_util.tree_structure(params))
     out = np.asarray(m.apply(variables, x, train=False))
     np.testing.assert_allclose(out, out_ref, atol=2e-4)
+
+
+def test_attention_legacy_backbone():
+    """--attention + --legacy_topology: the gate is built on the legacy
+    double-norm backbone (reference train.py:271-279 wraps VNet.py)."""
+    x = jnp.ones((1, 8, 8, 8, 1), jnp.float32)
+    m = build_network("AttentionVNet", num_classes=2, num_channels=4,
+                      num_levels=2, num_convolutions=(1, 1),
+                      bottom_convolutions=1, dropout_rate=0.0,
+                      conv_impl="direct", packed_target_lanes=0,
+                      legacy_double_norm=True)
+    v = m.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    assert "pre_norm_1" in v["params"]["vnet"]["encoder_level_1"]

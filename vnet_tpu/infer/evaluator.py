@@ -53,7 +53,8 @@ class Evaluator:
             num_convolutions=net_cfg.num_convolutions,
             bottom_convolutions=net_cfg.bottom_convolutions,
             norm=net_cfg.norm,
-            packed_target_lanes=net_cfg.packed_target_lanes, dtype=dtype)
+            packed_target_lanes=net_cfg.packed_target_lanes,
+            legacy_double_norm=(net_cfg.name == "VNetLegacy"), dtype=dtype)
 
         if state is not None:
             self.variables = {"params": state.params,

@@ -30,7 +30,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
                   activation: str = None, norm: str = "batch", dtype=None,
                   conv_impl: str = "packed", packed_target_lanes: int = 128,
-                  dropout_impl: str = "xla", remat: bool = False):
+                  dropout_impl: str = "xla", remat: bool = False,
+                  legacy_double_norm: bool = False):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -60,7 +61,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             bottom_convolutions=bottom_convolutions,
             dropout_rate=dropout_rate, activation=activation or "prelu",
             norm=norm, dtype=dtype, conv_impl=conv_impl,
-            packed_target_lanes=packed_target_lanes, remat=remat)
+            packed_target_lanes=packed_target_lanes, remat=remat,
+            legacy_double_norm=legacy_double_norm)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),
@@ -69,7 +71,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 norm=norm, dtype=dtype, conv_impl=conv_impl,
                 packed_target_lanes=packed_target_lanes,
                 dropout_impl=dropout_impl,
-                legacy_double_norm=(name == "VNetLegacy"))
+                legacy_double_norm=(legacy_double_norm
+                                    or name == "VNetLegacy"))
 
 
 __all__ = [

@@ -154,6 +154,10 @@ class AttentionGatedVNet(nn.Module):
     # their full-resolution 64-channel activations dominate live memory
     # (and the remote-compile footprint); remat trades them for recompute
     remat: bool = False
+    # faithful legacy backbone (`/root/reference/train.py:271-279` builds
+    # the gate on the LEGACY VNet.py, whose blocks double-norm around the
+    # residual add — see vnet.ConvBlock.legacy_double_norm)
+    legacy_double_norm: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -170,6 +174,7 @@ class AttentionGatedVNet(nn.Module):
             param_dtype=self.param_dtype,
             conv_impl=self.conv_impl,
             packed_target_lanes=self.packed_target_lanes,
+            legacy_double_norm=self.legacy_double_norm,
             name="vnet")
         logits_vnet = backbone(x, train)
 
