@@ -44,6 +44,21 @@ def test_legacy_train_flags_to_config(tmp_path):
     pipe = load_pipeline(cfg.train.pipeline_path)
     tfms = build_pipeline(pipe, "train", 3)
     assert [t.name for t in tfms] == ["Padding", "Random Crop"]
+    # regression: the auto pipeline must NOT live under log_dir — the
+    # Restore=False wipe (reference model.py:678-687) would delete it
+    # before the loader reads it
+    import os
+    assert not os.path.abspath(cfg.train.pipeline_path).startswith(
+        os.path.abspath(str(tmp_path / "log")))
+    assert os.path.exists(cfg.train.pipeline_path)
+
+
+def test_legacy_train_topology_flag(tmp_path):
+    import train as train_mod
+    p = train_mod.get_parser()
+    args = p.parse_args(["--data_dir", str(tmp_path), "--legacy_topology"])
+    cfg = train_mod.flags_to_config(args)
+    assert cfg.train.network.name == "VNetLegacy"
 
 
 def test_legacy_evaluate_parser():
