@@ -69,3 +69,42 @@ def test_bfloat16_dtype_preserved():
         conv_custom_dw(x, w, pads).astype(jnp.float32)),
         argnums=(0, 1))(x, w)
     assert dw.dtype == jnp.bfloat16 and dx.dtype == jnp.bfloat16
+
+
+def test_vnet_custom_dw_matches_default():
+    """custom_dw is a pure autodiff rewrite: identical pytree, outputs,
+    and gradients for both conv_impl modes (architecture invariant)."""
+    from vnet_tpu.models import VNet
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(2, 16, 16, 16, 1)).astype(np.float32))
+
+    def build(**kw):
+        return VNet(num_classes=2, num_channels=16, num_levels=2,
+                    num_convolutions=(1, 2), bottom_convolutions=1,
+                    dropout_rate=0.0, norm="batch", **kw)
+
+    ref = build(conv_impl="packed", packed_target_lanes=128)
+    variables = ref.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+
+    def loss(model, p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.mean(out ** 2)
+
+    g_ref = jax.grad(lambda p: loss(ref, p))(variables["params"])
+    g_scale = max(float(jnp.max(jnp.abs(l)))
+                  for l in jax.tree_util.tree_leaves(g_ref))
+    for impl, lanes in (("packed", 128), ("direct", 0)):
+        m = build(conv_impl=impl, packed_target_lanes=lanes, custom_dw=True)
+        v2 = m.init({"params": jax.random.PRNGKey(0)}, x, train=True)
+        assert (jax.tree_util.tree_structure(v2["params"])
+                == jax.tree_util.tree_structure(variables["params"]))
+        out = np.asarray(m.apply(variables, x, train=False))
+        out_ref = np.asarray(ref.apply(variables, x, train=False))
+        np.testing.assert_allclose(out, out_ref, atol=2e-4)
+        g = jax.grad(lambda p: loss(m, p))(variables["params"])
+        diffs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))), g, g_ref)
+        assert max(jax.tree_util.tree_leaves(diffs)) < 1e-3 * g_scale

@@ -62,6 +62,10 @@ class NetworkConfig:
     # rematerialize the attention/output heads (AttentionVNet only):
     # trades recompute for live-activation memory in the backward pass
     remat: bool = False
+    # stride-1 block convs: explicit weight-gradient formulation avoiding
+    # XLA's conv_backprop_filter layout copies (ops/conv_vjp.py); exact
+    # rewrite — checkpoints interchange
+    custom_dw: bool = False
 
 
 @dataclass
@@ -206,6 +210,7 @@ def _network_config(tree: dict) -> NetworkConfig:
         packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
         dropout_impl=str(net.get("DropoutImpl", "xla")),
         remat=bool(net.get("Remat", False)),
+        custom_dw=bool(net.get("CustomDw", False)),
     )
 
 

@@ -54,7 +54,8 @@ class Evaluator:
             bottom_convolutions=net_cfg.bottom_convolutions,
             norm=net_cfg.norm,
             packed_target_lanes=net_cfg.packed_target_lanes,
-            legacy_double_norm=(net_cfg.name == "VNetLegacy"), dtype=dtype)
+            legacy_double_norm=(net_cfg.name == "VNetLegacy"),
+            custom_dw=net_cfg.custom_dw, dtype=dtype)
 
         if state is not None:
             self.variables = {"params": state.params,

@@ -31,7 +31,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   activation: str = None, norm: str = "batch", dtype=None,
                   conv_impl: str = "packed", packed_target_lanes: int = 128,
                   dropout_impl: str = "xla", remat: bool = False,
-                  legacy_double_norm: bool = False):
+                  legacy_double_norm: bool = False,
+                  custom_dw: bool = False):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -62,7 +63,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             dropout_rate=dropout_rate, activation=activation or "prelu",
             norm=norm, dtype=dtype, conv_impl=conv_impl,
             packed_target_lanes=packed_target_lanes, remat=remat,
-            legacy_double_norm=legacy_double_norm)
+            legacy_double_norm=legacy_double_norm, custom_dw=custom_dw)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),
@@ -72,7 +73,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 packed_target_lanes=packed_target_lanes,
                 dropout_impl=dropout_impl,
                 legacy_double_norm=(legacy_double_norm
-                                    or name == "VNetLegacy"))
+                                    or name == "VNetLegacy"),
+                custom_dw=custom_dw)
 
 
 __all__ = [

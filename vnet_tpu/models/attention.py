@@ -158,6 +158,7 @@ class AttentionGatedVNet(nn.Module):
     # the gate on the LEGACY VNet.py, whose blocks double-norm around the
     # residual add — see vnet.ConvBlock.legacy_double_norm)
     legacy_double_norm: bool = False
+    custom_dw: bool = False  # see ops/conv_vjp.py
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -175,6 +176,7 @@ class AttentionGatedVNet(nn.Module):
             conv_impl=self.conv_impl,
             packed_target_lanes=self.packed_target_lanes,
             legacy_double_norm=self.legacy_double_norm,
+            custom_dw=self.custom_dw,
             name="vnet")
         logits_vnet = backbone(x, train)
 

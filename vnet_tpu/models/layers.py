@@ -331,6 +331,9 @@ class SpatialConv(nn.Module):
     # per-axis packing of the packed domain (None = all axes factor 2);
     # see ops/s2d.py module docstring on the per-level FLOP-tax tradeoff
     packed_factors: Optional[tuple] = None
+    # stride-1 convs: explicit weight-gradient formulation avoiding XLA's
+    # conv_backprop_filter layout copies (ops/conv_vjp.py); identical math
+    custom_dw: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -377,7 +380,8 @@ class SpatialConv(nn.Module):
                 from ..ops.s2d import packed_conv
                 y = packed_conv(x, kernel_c, halo=_partition(),
                                 input_splits=self.packed_input_splits,
-                                factors=self.packed_factors)
+                                factors=self.packed_factors,
+                                custom_dw=self.custom_dw)
             if bias is not None:
                 y = y + jnp.tile(bias.astype(compute_dtype), groups)
             return y
@@ -443,6 +447,9 @@ class SpatialConv(nn.Module):
                     y = jax.lax.conv_general_dilated(
                         xh, kernel_c, strides, pads,
                         dimension_numbers=dims)
+            elif self.custom_dw and strides == (1,) * rank:
+                from ..ops.conv_vjp import conv_custom_dw, same_pads
+                y = conv_custom_dw(x, kernel_c, same_pads(k))
             else:
                 y = jax.lax.conv_general_dilated(
                     x, kernel_c, strides, "SAME", dimension_numbers=dims)
@@ -455,7 +462,8 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          strides=None, dtype=None, param_dtype=jnp.float32,
          name: Optional[str] = None, use_bias: bool = True,
          impl: str = "direct", packed: bool = False,
-         packed_input_splits=None, packed_factors=None) -> SpatialConv:
+         packed_input_splits=None, packed_factors=None,
+         custom_dw: bool = False) -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
@@ -471,6 +479,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
         packed=packed,
         packed_input_splits=packed_input_splits,
         packed_factors=packed_factors,
+        custom_dw=custom_dw,
         name=name,
     )
 

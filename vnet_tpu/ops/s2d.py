@@ -249,7 +249,8 @@ def packed_pads(k: int, factors) -> list:
 
 def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                 preferred_element_type=None, halo=None,
-                input_splits=None, factors=None) -> jnp.ndarray:
+                input_splits=None, factors=None,
+                custom_dw: bool = False) -> jnp.ndarray:
     """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
     without the transposes. ``xp`` is ``(B, *spatial/f, G * Cin)``
     offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
@@ -261,6 +262,12 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
 
     ``input_splits``: ``xp`` is a flat channel concat of separately-packed
     tensors — see :func:`pack_kernel`.
+
+    ``custom_dw``: route through
+    :func:`vnet_tpu.ops.conv_vjp.conv_custom_dw` — identical math with an
+    explicitly-formulated weight gradient that avoids XLA's
+    conv_backprop_filter layout copies (only when no
+    ``preferred_element_type`` is requested).
     """
     rank = kernel.ndim - 2
     k = kernel.shape[0]
@@ -274,6 +281,9 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
         lo, hi = pads[sp_axis]
         xp = halo_exchange_asym(xp, lo, hi, axis_name, 1 + sp_axis)
         pads[sp_axis] = (0, 0)
+    if custom_dw and preferred_element_type is None:
+        from .conv_vjp import conv_custom_dw
+        return conv_custom_dw(xp, packed, tuple(pads)).astype(xp.dtype)
     return jax.lax.conv_general_dilated(
         xp, packed, (1,) * rank, pads,
         dimension_numbers=_dim_numbers(rank),

@@ -185,6 +185,7 @@ class Trainer:
             packed_target_lanes=net_cfg.packed_target_lanes,
             dropout_impl=net_cfg.dropout_impl, remat=net_cfg.remat,
             legacy_double_norm=(net_cfg.name == "VNetLegacy"),
+            custom_dw=net_cfg.custom_dw,
             dtype=self.dtype)
 
         self.tx, self.lr_schedule = build_optimizer(self.t.optimizer)
