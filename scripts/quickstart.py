@@ -1,0 +1,172 @@
+"""Runnable end-to-end quickstart: synthetic dataset -> train -> evaluate.
+
+Generates a small hard-synthetic 3-class dataset (irregular blobs, <=1%
+foreground, heavy intensity overlap — `vnet_tpu/utils/synthdata.py`),
+writes a config + pipeline for it, runs the production `Trainer.train()`
+loop (checkpoints, logs), then the full `Evaluator` (sliding window,
+header restore) and prints per-class Dice on the held-out cases.
+
+Mirrors the reference's README tutorial flow (`/root/reference/README.md`
+"Usage": folder layout -> config.json -> main.py train/evaluate) with a
+self-contained dataset so it runs anywhere:
+
+    python scripts/quickstart.py --workdir /tmp/vnet_quickstart \
+        --steps 60 --devices cpu           # small CPU demo (~10 min)
+    python scripts/quickstart.py --steps 600    # real TPU, flagship-ish
+
+The generated `<workdir>/config.json` is a normal framework config — the
+same run can be reproduced with
+`python main.py -p train --config_json <workdir>/config.json`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_dataset(workdir: str, shape, n_train: int, n_eval: int):
+    import numpy as np
+
+    from vnet_tpu.utils.synthdata import make_hard_dataset
+
+    rng = np.random.default_rng(42)
+    make_hard_dataset(workdir, "training", n_train, rng, shape=shape)
+    make_hard_dataset(workdir, "testing", max(1, n_train // 8), rng,
+                      shape=shape)
+    make_hard_dataset(workdir, "evaluate", n_eval, rng, shape=shape)
+
+
+def write_config(workdir: str, patch, steps: int, small: bool) -> str:
+    import yaml
+
+    pipeline = {"preprocess": {
+        "train": {"3D": [
+            {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
+            {"name": "Padding", "variables": {"output_size": list(patch)}},
+            {"name": "RandomCrop",
+             "variables": {"output_size": list(patch), "drop_ratio": 0.2,
+                           "min_pixel": 8}},
+        ]},
+        "test": {"3D": [
+            {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
+            {"name": "Padding", "variables": {"output_size": list(patch)}},
+            {"name": "RandomCrop",
+             "variables": {"output_size": list(patch), "drop_ratio": 1.0,
+                           "min_pixel": 0}},
+        ]},
+        "evaluate": {"3D": [
+            {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
+            {"name": "Padding", "variables": {"output_size": list(patch)}},
+        ]},
+    }}
+    ppath = os.path.join(workdir, "pipeline.yaml")
+    with open(ppath, "w") as f:
+        yaml.safe_dump(pipeline, f)
+
+    net = ({"Name": "VNet", "Dropout": 0.0, "NumChannel": 4, "NumLevels": 2,
+            "NumConvolutions": [1, 1], "BottomConvolutions": 1}
+           if small else
+           {"Name": "VNet", "Dropout": 0.01, "NumChannel": 16,
+            "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
+            "BottomConvolutions": 3, "PackedTargetLanes": 128})
+    cfg = {
+        "TrainingSetting": {
+            "Data": {"TrainingDataDirectory": os.path.join(workdir, "training"),
+                     "TestingDataDirectory": os.path.join(workdir, "testing"),
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "label.nii"},
+            "SegmentationClasses": [0, 1, 2],
+            "BatchSize": 2 if small else 8,
+            "PatchShape": list(patch),
+            "Epoches": 10 ** 6,  # bounded by MaxIterations
+            "MaxIterations": steps,
+            "LogDir": os.path.join(workdir, "log"),
+            "CheckpointDir": os.path.join(workdir, "ckpt"),
+            "LogInterval": max(10, steps // 4),
+            "Precision": "float32" if small else "bfloat16",
+            "CacheCases": 32,
+            "Networks": net,
+            "Loss": {"Name": "weighted_sorensen", "Weights": [0.01, 0.3, 1.0]},
+            "Optimizer": {"Name": "Adam", "InitialLearningRate": 1e-3,
+                          "Decay": {"Factor": 0.99, "Steps": 100}},
+            "Pipeline": ppath,
+        },
+        "EvaluationSetting": {
+            "Data": {"EvaluateDataDirectory": os.path.join(workdir, "evaluate"),
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "pred.nii.gz",
+                     "ProbabilityOutput": False},
+            "Stride": [max(8, p // 2) for p in patch],
+            "BatchSize": 4,
+            "Pipeline": ppath,
+        },
+    }
+    cpath = os.path.join(workdir, "config.json")
+    with open(cpath, "w") as f:
+        json.dump(cfg, f, indent=2)
+    return cpath
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--workdir", default="./tmp/quickstart")
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--devices", default=None,
+                    help="'cpu' forces the CPU backend (demo mode)")
+    ap.add_argument("--small", action="store_true", default=None,
+                    help="tiny network/patches (default when --devices cpu)")
+    args = ap.parse_args(argv)
+
+    if args.devices == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    if args.devices == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    small = args.small if args.small is not None else (args.devices == "cpu")
+
+    import numpy as np
+
+    workdir = os.path.abspath(args.workdir)
+    os.makedirs(workdir, exist_ok=True)
+    shape = (48, 48, 32) if small else (96, 96, 64)
+    patch = (32, 32, 32) if small else (64, 64, 64)
+
+    if not os.path.isdir(os.path.join(workdir, "training")):
+        print(f"generating synthetic dataset under {workdir} ...", flush=True)
+        build_dataset(workdir, shape, n_train=8 if small else 24,
+                      n_eval=2 if small else 4)
+    cpath = write_config(workdir, patch, args.steps, small)
+    print(f"config written: {cpath}", flush=True)
+
+    from vnet_tpu.config import load_config
+    from vnet_tpu.infer import Evaluator
+    from vnet_tpu.io import read_image
+    from vnet_tpu.train import Trainer
+    from vnet_tpu.utils.synthdata import dice_per_class
+
+    cfg = load_config(cpath)
+    print(f"devices: {jax.devices()}", flush=True)
+    trainer = Trainer(cfg)
+    state = trainer.train()
+    print("training done", flush=True)
+
+    ev = Evaluator(cfg, state=state)
+    results = ev.evaluate()
+    print(f"evaluated {len(results)} case(s)", flush=True)
+    for pred_path in results:
+        case_dir = os.path.dirname(pred_path)
+        truth = np.asarray(read_image(os.path.join(case_dir, "label.nii")).data)
+        pred = np.asarray(read_image(pred_path).data)
+        d = dice_per_class(pred, truth, 3)
+        print(f"{os.path.basename(case_dir)}: dice per class "
+              f"{[round(float(x), 3) for x in d]}", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
