@@ -40,18 +40,9 @@ def get_parser():
     return parser
 
 
-def _honor_jax_platforms_env():
-    """Make JAX_PLATFORMS authoritative for this CLI: environments whose
-    sitecustomize force-selects a remote accelerator override the env var
-    via jax.config; re-assert it so `JAX_PLATFORMS=cpu python ...` works."""
-    val = os.environ.get("JAX_PLATFORMS")
-    if val:
-        import jax
-        jax.config.update("jax_platforms", val)
-
-
 def main(args):
-    _honor_jax_platforms_env()
+    from vnet_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     from vnet_tpu.config import load_config
 
     config = load_config(args.config_json)

@@ -122,11 +122,12 @@ def main(argv=None):
                     help="tiny network/patches (default when --devices cpu)")
     args = ap.parse_args(argv)
 
+    from vnet_tpu.utils.platform import honor_jax_platforms_env
     if args.devices == "cpu":
-        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+        honor_jax_platforms_env("cpu")
+    else:
+        honor_jax_platforms_env()
     import jax
-    if args.devices == "cpu":
-        jax.config.update("jax_platforms", "cpu")
     small = args.small if args.small is not None else (args.devices == "cpu")
 
     import numpy as np

@@ -20,7 +20,10 @@ def test_fused_adam_matches_optax_adam():
     rng = np.random.default_rng(0)
     params_a = _tree(rng)
     params_b = jax.tree.map(jnp.copy, params_a)
-    sched = optax.exponential_decay(1e-2, 100, 0.99)
+    # fast decay (0.5 every 10 steps) so a schedule-step offset would move
+    # the update by ~7% per step — this test failed on the (since fixed)
+    # schedule(count+1) off-by-one that a 0.99/100 schedule had masked
+    sched = optax.exponential_decay(1e-2, 10, 0.5)
     ref = optax.adam(sched)
     fus = fused_adam(sched)
     s_ref = ref.init(params_a)
@@ -39,7 +42,7 @@ def test_fused_adam_matches_optax_adam():
         # fp-rounding-level tolerance: optax computes the bias-correction
         # power via integer_pow, fused_adam via float pow — identical
         # semantics, last-ulp differences on the 1e-2-scale update
-        assert max(jax.tree.leaves(diffs)) < 1e-5 * (step + 1), (step, diffs)
+        assert max(jax.tree.leaves(diffs)) < 1e-6 * (step + 1), (step, diffs)
 
 
 def test_fused_adam_under_jit_and_scan():

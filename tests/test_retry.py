@@ -75,6 +75,28 @@ def test_process_loader_detects_dead_worker():
             pass
 
 
+class _CleanExitDataset:
+    """get_sample exits the worker with code 0 (e.g. a parser calling
+    sys.exit()) — still a missing result, must not hang the epoch."""
+
+    def __len__(self):
+        return 4
+
+    def get_sample(self, i):
+        import os
+        os._exit(0)
+
+
+@pytest.mark.timeout(120)
+def test_process_loader_detects_clean_exit_without_results():
+    from vnet_tpu.data.loader import BatchLoader
+    loader = BatchLoader(_CleanExitDataset(), batch_size=2, shuffle=False,
+                         num_workers=1, backend="process")
+    with pytest.raises(RuntimeError, match="without posting"):
+        for _ in loader.epoch():
+            pass
+
+
 class _OkDataset:
     def __len__(self):
         return 6

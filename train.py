@@ -88,10 +88,22 @@ def flags_to_config(args):
         # NOT under log_dir: Restore=False wipes log/ckpt dirs
         # (reference model.py:678-687) and would delete the pipeline
         # before the loader reads it
+        import atexit
         import tempfile
         fd, pipeline = tempfile.mkstemp(prefix="pipeline_auto_",
                                         suffix=".yaml")
         os.close(fd)
+
+        # the loader re-reads the file during training, so it must outlive
+        # config parsing — clean up at interpreter exit instead of leaking
+        # one temp file per invocation
+        def _cleanup(p=pipeline):
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+
+        atexit.register(_cleanup)
         with open(pipeline, "w") as f:
             yaml.safe_dump({"preprocess": {"train": section, "test": section,
                                            "evaluate": {"3D": section["3D"][:1]}}}, f)
@@ -144,18 +156,9 @@ def flags_to_config(args):
     return parse_config(tree)
 
 
-def _honor_jax_platforms_env():
-    """Make JAX_PLATFORMS authoritative for this CLI: environments whose
-    sitecustomize force-selects a remote accelerator override the env var
-    via jax.config; re-assert it so `JAX_PLATFORMS=cpu python ...` works."""
-    val = os.environ.get("JAX_PLATFORMS")
-    if val:
-        import jax
-        jax.config.update("jax_platforms", val)
-
-
 def main():
-    _honor_jax_platforms_env()
+    from vnet_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
     args = get_parser().parse_args()
     config = flags_to_config(args)
     from vnet_tpu.train import Trainer

@@ -191,6 +191,20 @@ class BatchLoader:
                                     "BatchLoader worker died (exit codes "
                                     f"{[p.exitcode for p in dead]}) without "
                                     "posting a result — aborting epoch")
+                            if not any(p.is_alive() for p in procs):
+                                # every worker exited "cleanly" (e.g. a
+                                # parser called sys.exit(0)) yet results
+                                # are still missing; drain once more in
+                                # case data is in flight, then abort
+                                try:
+                                    pos, sample, err = done_q.get(
+                                        timeout=1.0)
+                                    break
+                                except queue.Empty:
+                                    raise RuntimeError(
+                                        "BatchLoader workers all exited "
+                                        "without posting every result — "
+                                        "aborting epoch") from None
                     pending[pos] = (sample, err)
                 sample, err = pending.pop(next_pos)
                 next_pos += 1

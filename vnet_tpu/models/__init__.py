@@ -41,6 +41,16 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
     if name not in _NETWORKS:
         raise ValueError(f"Invalid network: {name!r}")
 
+    if name in ("UNet", "Dense"):
+        # these use flax dropout and plain convs; requesting a VNet-only
+        # perf knob must not silently no-op
+        unsupported = [k for k, on in (("DropoutImpl", dropout_impl != "xla"),
+                                       ("CustomDw", custom_dw),
+                                       ("Remat", remat)) if on]
+        if unsupported:
+            import warnings
+            warnings.warn(f"{name} does not implement "
+                          f"{', '.join(unsupported)}; ignoring", stacklevel=2)
     if name == "UNet":
         return UNet(num_classes=num_classes, num_channels=num_channels,
                     num_levels=num_levels,
@@ -62,7 +72,8 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             bottom_convolutions=bottom_convolutions,
             dropout_rate=dropout_rate, activation=activation or "prelu",
             norm=norm, dtype=dtype, conv_impl=conv_impl,
-            packed_target_lanes=packed_target_lanes, remat=remat,
+            packed_target_lanes=packed_target_lanes,
+            dropout_impl=dropout_impl, remat=remat,
             legacy_double_norm=legacy_double_norm, custom_dw=custom_dw)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,

@@ -150,6 +150,9 @@ class AttentionGatedVNet(nn.Module):
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
     packed_target_lanes: int = 0  # see VNet.packed_target_lanes
+    # forwarded to the backbone V-Net (the attention/output heads use
+    # flax dropout: their cost is a small fraction of the backbone's)
+    dropout_impl: str = "xla"
     # rematerialize the attention/output heads in the backward pass:
     # their full-resolution 64-channel activations dominate live memory
     # (and the remote-compile footprint); remat trades them for recompute
@@ -175,6 +178,7 @@ class AttentionGatedVNet(nn.Module):
             param_dtype=self.param_dtype,
             conv_impl=self.conv_impl,
             packed_target_lanes=self.packed_target_lanes,
+            dropout_impl=self.dropout_impl,
             legacy_double_norm=self.legacy_double_norm,
             custom_dw=self.custom_dw,
             name="vnet")

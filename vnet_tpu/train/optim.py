@@ -55,7 +55,10 @@ def fused_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
         t = count.astype(jnp.float32)
         mhat = m / (1.0 - jnp.power(b1, t))
         vhat = v / (1.0 - jnp.power(b2, t))
-        lr = (learning_rate(count) if callable(learning_rate)
+        # schedule is evaluated at the PRE-increment count: optax's
+        # scale_by_schedule uses state.count before its own increment, so
+        # the first step trains at schedule(0)
+        lr = (learning_rate(state.count) if callable(learning_rate)
               else learning_rate)
         out = (-lr) * mhat / (jnp.sqrt(vhat) + eps)
         return unravel(out), FusedAdamState(count=count, m=m, v=v)

@@ -13,6 +13,7 @@ failed donation invalidates its inputs).
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable, TypeVar
 
@@ -54,8 +55,10 @@ def retry_transient(fn: Callable[..., T], *args, max_attempts: int = 3,
             if on_retry is not None:
                 on_retry(attempt, e)
             else:
+                # stderr: callers' stdout may be machine-readable (the
+                # repo's one-JSON-line convention)
                 print(f"retry_transient: attempt {attempt}/{max_attempts} "
                       f"failed ({type(e).__name__}: {str(e)[:160]}); "
-                      f"retrying in {delay:.1f}s")
+                      f"retrying in {delay:.1f}s", file=sys.stderr)
             time.sleep(delay)
     raise AssertionError("unreachable")
