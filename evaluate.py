@@ -61,16 +61,35 @@ def main():
                     {"name": "Padding", "variables": {"output_size": patch}},
                 ]}}}, f)
 
+    # the reference's evaluator restored the full meta-graph, so the
+    # architecture traveled with the checkpoint (`model.py:1138-1139`);
+    # this CLI has no network flags (parity with evaluate.py:20-41), so
+    # read the Trainer's network_config.json sidecar when present
+    networks = {"Name": "VNet", "Attention": args.attention}
+    classes = [0, 1]
+    precision = "float32"
+    sidecar_path = os.path.join(args.checkpoint_path, "network_config.json")
+    if os.path.isfile(sidecar_path):
+        import json
+        with open(sidecar_path) as f:
+            sidecar = json.load(f)
+        networks = dict(sidecar.get("Networks", networks))
+        networks["Attention"] = bool(networks.get("Attention", False)
+                                     or args.attention)
+        classes = sidecar.get("SegmentationClasses", classes)
+        precision = sidecar.get("Precision", precision)
+
     tree = {
         "TrainingSetting": {
             "Data": {"TrainingDataDirectory": args.data_dir,
                      "TestingDataDirectory": args.data_dir,
                      "ImageFilenames": [args.image_filename],
                      "LabelFilename": "label.nii"},
-            "SegmentationClasses": [0, 1],
+            "SegmentationClasses": classes,
             "PatchShape": [args.patch_size, args.patch_size,
                            args.patch_layer],
-            "Networks": {"Name": "VNet", "Attention": args.attention},
+            "Precision": precision,
+            "Networks": networks,
             "Pipeline": pipeline,
         },
         "EvaluationSetting": {

@@ -107,11 +107,15 @@ class Evaluator:
         template = trainer.init_state()
         path = self.e.checkpoint_path or self.t.ckpt_dir
         mgr = CheckpointManager(path)
-        state = mgr.restore_latest(template)
-        if state is None:
+        # weights only: evaluation must not depend on how the checkpoint
+        # was optimized (different optimizer name / optax state layout)
+        restored = mgr.restore_latest_partial(
+            {"params": template.params, "batch_stats": template.batch_stats})
+        if restored is None:
             raise FileNotFoundError(
                 f"No checkpoint found under {path!r}")
-        return {"params": state.params, "batch_stats": state.batch_stats}
+        return {"params": restored["params"],
+                "batch_stats": restored["batch_stats"]}
 
     # ------------------------------------------------------------------
     def _eval_transforms(self):

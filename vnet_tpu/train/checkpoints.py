@@ -60,5 +60,21 @@ class CheckpointManager:
                                         template)
         return self._mgr.restore(step, args=ocp.args.StandardRestore(target))
 
+    def restore_latest_partial(self, subtree: Any) -> Optional[Any]:
+        """Restore only the keys present in ``subtree`` (e.g.
+        ``{"params": ..., "batch_stats": ...}``) from the newest
+        checkpoint. Evaluation restores weights without the optimizer
+        state, so a checkpoint trained with a different optimizer (or an
+        optax state-layout change) can still be evaluated."""
+        self._mgr.wait_until_finished()
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        target = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct,
+                                        subtree)
+        return self._mgr.restore(
+            step, args=ocp.args.PyTreeRestore(item=target,
+                                              partial_restore=True))
+
     def close(self):
         self._mgr.close()

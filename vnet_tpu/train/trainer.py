@@ -425,6 +425,36 @@ class Trainer:
                          softmax, pred, self.t.segmentation_classes, step)
 
     # ------------------------------------------------------------------
+    def _write_network_sidecar(self, ckpt_dir: str) -> None:
+        """Persist the architecture next to the checkpoints. The reference
+        restored the full meta-graph at evaluation (`model.py:1138-1139`)
+        so the architecture traveled with the weights; the sidecar gives
+        the flag-style `evaluate.py` CLI (which has no network flags, like
+        the reference's) the same property."""
+        import json
+
+        net = self.t.network
+        sidecar = {
+            "Networks": {
+                "Name": net.name, "Dropout": net.dropout,
+                "NumChannel": net.num_channel, "NumLevels": net.num_levels,
+                "NumConvolutions": list(net.num_convolutions),
+                "BottomConvolutions": net.bottom_convolutions,
+                "Attention": net.attention, "Norm": net.norm,
+                "PackedTargetLanes": net.packed_target_lanes,
+                "DropoutImpl": net.dropout_impl, "Remat": net.remat,
+                "CustomDw": net.custom_dw,
+            },
+            "SegmentationClasses": list(self.t.segmentation_classes),
+            "PatchShape": list(self.t.patch_shape),
+            "Precision": self.t.precision,
+        }
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, "network_config.json")
+        with open(path, "w") as f:
+            json.dump(sidecar, f, indent=2)
+
+    # ------------------------------------------------------------------
     # the loop
     # ------------------------------------------------------------------
     def train(self, max_steps: Optional[int] = None) -> TrainState:
@@ -437,6 +467,7 @@ class Trainer:
 
         state = self.init_state()
         mgr = ckpt_lib.CheckpointManager(t.ckpt_dir)
+        self._write_network_sidecar(t.ckpt_dir)
         if t.restore:
             restored = mgr.restore_latest(state)
             if restored is not None:
