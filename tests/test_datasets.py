@@ -287,3 +287,43 @@ def test_case_cache_is_exact_2d(tmp_path, rng):
             ib, lb = b.get_sample(i)
             np.testing.assert_array_equal(ia, ib)
             np.testing.assert_array_equal(la, lb)
+
+
+def test_case_cache_thread_safe_under_eviction(tmp_path, rng):
+    """Thread-backend loaders call get_sample concurrently; with
+    cache_cases < num_cases every fetch races insert/evict/move_to_end on
+    the shared LRU. Must neither raise nor corrupt samples."""
+    import threading
+
+    from vnet_tpu.data import transforms3d as T
+    from vnet_tpu.data.dataset3d import NiftiDataset3D
+    from fixtures import make_dataset_dir
+
+    make_dataset_dir(str(tmp_path), "training", num_cases=4, rng=rng)
+    kw = dict(image_filenames=["image.nii"], label_filename="label.nii",
+              train=True, labels=[0, 1])
+    tfms = lambda: [T.StatisticalNormalization(2.5), T.Padding([24, 24, 24])]
+    ds = NiftiDataset3D(str(tmp_path / "training"), transforms=tfms(),
+                        cache_cases=2, **kw)  # evicts constantly
+    ref = NiftiDataset3D(str(tmp_path / "training"), transforms=tfms(), **kw)
+    expected = [ref.get_sample(i) for i in range(4)]
+
+    errors = []
+
+    def hammer():
+        try:
+            for _ in range(8):
+                for i in range(4):
+                    img, lbl = ds.get_sample(i)
+                    np.testing.assert_array_equal(img, expected[i][0])
+                    np.testing.assert_array_equal(lbl, expected[i][1])
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(ds._prefix_cache) <= 2

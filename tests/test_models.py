@@ -254,6 +254,43 @@ def test_attention_remat_matches_plain():
                                                 rtol=1e-5, atol=1e-6), gp, gr)
 
 
+def test_vnet_backbone_remat_matches_plain():
+    """VNet remat=True (conv blocks rematerialized): same parameter pytree,
+    same outputs, same grads — a pure memory/recompute trade."""
+    from vnet_tpu.models import VNet
+
+    x = jnp.asarray(np.random.default_rng(3).normal(
+        size=(1, 8, 8, 8, 1)).astype(np.float32))
+    kw = dict(num_classes=2, num_channels=4, num_levels=2,
+              num_convolutions=(1, 2), bottom_convolutions=1,
+              dropout_rate=0.0, norm="batch")
+    plain = VNet(**kw)
+    remat = VNet(remat=True, **kw)
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    variables = plain.init(rngs, x, train=False)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(remat.init(rngs, x, train=False)))
+
+    out_p = plain.apply(variables, x, train=False)
+    out_r = remat.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out_p),
+                               rtol=1e-6, atol=1e-6)
+
+    def grads(m):
+        def f(params):
+            out, _ = m.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return jax.grad(f)(variables["params"])
+
+    gp, gr = grads(plain), grads(remat)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6), gp, gr)
+
+
 def test_legacy_double_norm_topology():
     """VNetLegacy (`/root/reference/VNet.py`): every conv normalized both
     before (pre_norm_i) and after the residual add — EXCEPT the first conv

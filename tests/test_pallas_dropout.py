@@ -72,6 +72,36 @@ def test_vnet_dropout_impl_param_tree_unchanged():
     np.testing.assert_array_equal(np.asarray(oa), np.asarray(ob))
 
 
+def test_is_tpu_backend_false_on_cpu():
+    from vnet_tpu.ops.pallas import is_tpu_backend
+
+    assert is_tpu_backend() is False  # tests run on the forced-CPU mesh
+
+
+def test_cpu_fallback_is_real_dropout():
+    """On a non-TPU backend impl='pallas' must fall back to the XLA path
+    (the interpreter's stubbed PRNG would keep everything): train-mode
+    output must actually drop values, not just rescale."""
+    from vnet_tpu.models.layers import Dropout
+
+    x = jnp.ones((64, 64), jnp.float32)
+    m = Dropout(rate=0.5, impl="pallas")
+    y = np.asarray(m.apply({}, x, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(0)}))
+    zeros = float((y == 0.0).mean())
+    assert 0.3 < zeros < 0.7          # real masking happened
+    np.testing.assert_allclose(y[y != 0.0], 2.0, rtol=1e-6)  # 1/keep scale
+
+
+def test_unknown_impl_raises():
+    from vnet_tpu.models.layers import Dropout
+
+    m = Dropout(rate=0.5, impl="nope")
+    with pytest.raises(ValueError, match="dropout impl"):
+        m.apply({}, jnp.ones((4, 4)), deterministic=False,
+                rngs={"dropout": jax.random.PRNGKey(0)})
+
+
 def test_config_knob_reaches_network():
     from vnet_tpu.config import parse_config
 

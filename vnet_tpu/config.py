@@ -59,8 +59,9 @@ class NetworkConfig:
     # packing. Exact rewrite either way; checkpoints interchange.
     packed_target_lanes: int = 128
     dropout_impl: str = "xla"  # "xla" | "pallas" (models/layers.py Dropout)
-    # rematerialize the attention/output heads (AttentionVNet only):
-    # trades recompute for live-activation memory in the backward pass
+    # rematerialize conv blocks (VNet) and the attention/output heads
+    # (AttentionVNet): trades recompute for live-activation memory in
+    # the backward pass; identical math and parameter pytree
     remat: bool = False
     # stride-1 block convs: explicit weight-gradient formulation avoiding
     # XLA's conv_backprop_filter layout copies (ops/conv_vjp.py); exact

@@ -11,6 +11,7 @@ transforms to the volume, extract the slice, then apply 2D transforms
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from typing import List, Sequence, Tuple
 
@@ -69,6 +70,9 @@ class NiftiDataset2D:
         # difference between O(volume) and O(slice) per sample)
         self.cache_cases = int(cache_cases)
         self._prefix_cache = OrderedDict()
+        # see NiftiDataset3D: guards LRU bookkeeping against the thread
+        # loader backend's concurrent sample fetches
+        self._cache_lock = threading.Lock()
         n_det = 0
         for t in self.transforms3D:
             if getattr(t, "stochastic", False):
@@ -86,16 +90,20 @@ class NiftiDataset2D:
 
     def _cached_volume(self, case: str):
         """Load + deterministic 3D prefix for ``case``, memoized."""
-        if case in self._prefix_cache:
-            self._prefix_cache.move_to_end(case)
-        else:
-            sample = self._load_case(case)
+        with self._cache_lock:
+            cached = self._prefix_cache.get(case)
+            if cached is not None:
+                self._prefix_cache.move_to_end(case)
+        if cached is None:
+            # compute outside the lock (expensive; concurrent misses on
+            # the same case just redo identical deterministic work)
+            cached = self._load_case(case)
             for t in self.transforms3D[:self._n_det3d]:
-                sample = t(sample)
-            self._prefix_cache[case] = sample
-            while len(self._prefix_cache) > self.cache_cases:
-                self._prefix_cache.popitem(last=False)
-        cached = self._prefix_cache[case]
+                cached = t(cached)
+            with self._cache_lock:
+                self._prefix_cache[case] = cached
+                while len(self._prefix_cache) > self.cache_cases:
+                    self._prefix_cache.popitem(last=False)
         return {
             "image": [im.like(np.array(im.data, copy=True))
                       for im in cached["image"]],

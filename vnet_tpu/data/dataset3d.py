@@ -8,6 +8,7 @@ loader (``vnet_tpu.data.loader``) parallelizes and batches.
 from __future__ import annotations
 
 import os
+import threading
 from collections import OrderedDict
 from typing import List, Optional, Sequence, Tuple
 
@@ -84,6 +85,10 @@ class NiftiDataset3D:
         # loader backend each worker holds its own copy.
         self.cache_cases = int(cache_cases)
         self._prefix_cache = OrderedDict()
+        # guards the LRU bookkeeping (insert/evict/move_to_end) against the
+        # thread loader backend's concurrent get_sample calls; the fork
+        # backend never contends (each worker owns a COW copy)
+        self._cache_lock = threading.Lock()
         n_det = 0
         for t in self.transforms:
             if getattr(t, "stochastic", False):
@@ -156,15 +161,19 @@ class NiftiDataset3D:
             return sample
 
         if self.cache_cases > 0 and self._n_deterministic > 0:
-            if case not in self._prefix_cache:
-                pre = apply(self.load_case(case),
-                            self.transforms[:self._n_deterministic])
-                self._prefix_cache[case] = pre
-                while len(self._prefix_cache) > self.cache_cases:
-                    self._prefix_cache.popitem(last=False)
-            else:
-                self._prefix_cache.move_to_end(case)
-            cached = self._prefix_cache[case]
+            with self._cache_lock:
+                cached = self._prefix_cache.get(case)
+                if cached is not None:
+                    self._prefix_cache.move_to_end(case)
+            if cached is None:
+                # compute outside the lock (expensive; concurrent misses on
+                # the same case just redo identical deterministic work)
+                cached = apply(self.load_case(case),
+                               self.transforms[:self._n_deterministic])
+                with self._cache_lock:
+                    self._prefix_cache[case] = cached
+                    while len(self._prefix_cache) > self.cache_cases:
+                        self._prefix_cache.popitem(last=False)
             # hand downstream transforms their own copies: some mutate
             # pixel data in place
             sample = {

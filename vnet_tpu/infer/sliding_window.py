@@ -140,9 +140,10 @@ class SlidingWindowInference:
         acc_channels = self.num_classes + (1 if self.hard_accumulate else 0)
 
         if self.blend_impl == "pallas":
-            from ..ops.pallas import blend_accumulate_patches
-            # CPU (tests / virtual meshes) runs the TPU interpreter
-            interpret = jax.default_backend() != "tpu"
+            from ..ops.pallas import blend_accumulate_patches, is_tpu_backend
+            # CPU (tests / virtual meshes) runs the TPU interpreter; the
+            # blend kernel is deterministic so interpret mode is exact
+            interpret = not is_tpu_backend()
 
             def run_pallas(variables, volume, starts):
                 # blend weight rides as channel 0 so non-uniform windows

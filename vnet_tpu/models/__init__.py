@@ -82,7 +82,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 dropout_rate=dropout_rate, activation=activation or "prelu",
                 norm=norm, dtype=dtype, conv_impl=conv_impl,
                 packed_target_lanes=packed_target_lanes,
-                dropout_impl=dropout_impl,
+                dropout_impl=dropout_impl, remat=remat,
                 legacy_double_norm=(legacy_double_norm
                                     or name == "VNetLegacy"),
                 custom_dw=custom_dw)

@@ -153,9 +153,10 @@ class AttentionGatedVNet(nn.Module):
     # forwarded to the backbone V-Net (the attention/output heads use
     # flax dropout: their cost is a small fraction of the backbone's)
     dropout_impl: str = "xla"
-    # rematerialize the attention/output heads in the backward pass:
-    # their full-resolution 64-channel activations dominate live memory
-    # (and the remote-compile footprint); remat trades them for recompute
+    # rematerialize the attention/output heads AND the backbone's conv
+    # blocks in the backward pass: the heads' full-resolution 64-channel
+    # activations dominate live memory (and the remote-compile
+    # footprint); remat trades them for recompute
     remat: bool = False
     # faithful legacy backbone (`/root/reference/train.py:271-279` builds
     # the gate on the LEGACY VNet.py, whose blocks double-norm around the
@@ -179,6 +180,7 @@ class AttentionGatedVNet(nn.Module):
             conv_impl=self.conv_impl,
             packed_target_lanes=self.packed_target_lanes,
             dropout_impl=self.dropout_impl,
+            remat=self.remat,
             legacy_double_norm=self.legacy_double_norm,
             custom_dw=self.custom_dw,
             name="vnet")

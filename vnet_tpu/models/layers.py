@@ -663,6 +663,11 @@ class Dropout(nn.Module):
       the backward regenerates it from the seed instead of materializing
       a pred tensor. Same keep probability (exact to 2^-32), different
       random stream than flax's threefry/rbg.
+
+    On a non-TPU backend ``impl="pallas"`` falls back to the XLA path
+    (with a one-time warning): the TPU-flavoured Pallas interpreter stubs
+    ``prng_random_bits`` to zeros, which would silently turn dropout into
+    a uniform ``x / keep`` scale.
     """
 
     rate: float
@@ -670,14 +675,32 @@ class Dropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
+        if self.impl not in ("xla", "pallas"):
+            raise ValueError(
+                f"Unknown dropout impl {self.impl!r}; expected 'xla' or "
+                "'pallas'")
         if deterministic or self.rate == 0.0:
             return x
         if self.impl == "pallas":
-            from ..ops.pallas.dropout import pallas_dropout
-            key = self.make_rng("dropout")
-            seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
-            # CPU (tests / virtual meshes) runs the TPU interpreter —
-            # NB it stubs the PRNG to zeros, i.e. keeps everything
-            interpret = jax.default_backend() != "tpu"
-            return pallas_dropout(x, seed, float(self.rate), interpret)
+            from ..ops.pallas import is_tpu_backend
+            if is_tpu_backend():
+                from ..ops.pallas.dropout import pallas_dropout
+                key = self.make_rng("dropout")
+                seed = jax.random.bits(key, (), jnp.uint32).astype(jnp.int32)
+                return pallas_dropout(x, seed, float(self.rate),
+                                      interpret=False)
+            _warn_pallas_dropout_fallback()
         return nn.Dropout(rate=self.rate, deterministic=False)(x)
+
+
+_PALLAS_DROPOUT_WARNED = False
+
+
+def _warn_pallas_dropout_fallback():
+    global _PALLAS_DROPOUT_WARNED
+    if not _PALLAS_DROPOUT_WARNED:
+        _PALLAS_DROPOUT_WARNED = True
+        import warnings
+        warnings.warn(
+            "DropoutImpl='pallas' requires a TPU backend (the interpreter "
+            "stubs the PRNG); using the XLA dropout path", stacklevel=3)

@@ -282,11 +282,20 @@ class VNet(nn.Module):
     # stride-1 block convs: custom weight-gradient formulation avoiding
     # conv_backprop_filter layout copies (ops/conv_vjp.py); identical math
     custom_dw: bool = False
+    # rematerialize conv blocks in the backward pass: activations inside a
+    # block are recomputed instead of saved, trading FLOPs for memory
+    # (large patches / deep configs) and shrinking the autodiff graph.
+    # Identical math and parameter pytree (nn.remat is a lifted transform).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.num_levels == len(self.num_convolutions), (
             "num_convolutions must have num_levels entries")
+        conv_block_cls = (nn.remat(ConvBlock, static_argnums=(2,))
+                          if self.remat else ConvBlock)
+        dec_block_cls = (nn.remat(DecoderConvBlock, static_argnums=(3,))
+                         if self.remat else DecoderConvBlock)
         rank = x.ndim - 2
         compute_dtype = self.dtype or x.dtype
         x = x.astype(compute_dtype)
@@ -354,7 +363,7 @@ class VNet(nn.Module):
         for level in range(self.num_levels):
             spatial, ch = x.shape[1:-1], x.shape[-1]
             enc_p, enc_f = level_packed(spatial, ch)
-            x = ConvBlock(self.num_convolutions[level], 5, self.norm,
+            x = conv_block_cls(self.num_convolutions[level], 5, self.norm,
                           self.activation, self.dropout_rate, self.dtype,
                           self.param_dtype,
                           block_impl if enc_p else fallback_impl,
@@ -372,7 +381,7 @@ class VNet(nn.Module):
 
         # bottom (networks.py:282-283)
         bot_p, bot_f = level_packed(x.shape[1:-1], x.shape[-1])
-        x = ConvBlock(self.bottom_convolutions, 5, self.norm,
+        x = conv_block_cls(self.bottom_convolutions, 5, self.norm,
                       self.activation, self.dropout_rate, self.dtype,
                       self.param_dtype,
                       block_impl if bot_p else fallback_impl,
@@ -401,7 +410,7 @@ class VNet(nn.Module):
                        packed_factors=dec_f,
                        name=f"up_{level + 1}")(x, train)
             keep_packed = dec_p and level == 0  # feed the output conv packed
-            x = DecoderConvBlock(self.num_convolutions[level], 5, self.norm,
+            x = dec_block_cls(self.num_convolutions[level], 5, self.norm,
                                  self.activation, self.dropout_rate,
                                  self.dtype, self.param_dtype,
                                  block_impl if dec_p else fallback_impl,

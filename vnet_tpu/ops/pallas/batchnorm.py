@@ -34,7 +34,8 @@ STATS_IMPL = "xla"
 def stats_impl() -> str:
     if STATS_IMPL != "auto":
         return STATS_IMPL
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    from . import is_tpu_backend
+    return "pallas" if is_tpu_backend() else "xla"
 
 
 def _moments(x, groups: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
