@@ -185,3 +185,49 @@ def test_crop_updates_origin(rng):
                            "probability": 1.0})(s)
     img = out["image"][0]
     assert img.origin != (0.0, 0.0, 0.0)
+
+
+def test_cc_memo_matches_scipy_direct(rng):
+    """The per-case CC memo (bboxes + centroids) returns exactly what
+    direct scipy labeling computes, and repeat calls hit the memo."""
+    from scipy import ndimage
+
+    from vnet_tpu.data.transforms3d import (_cc_bboxes, _cc_centroids,
+                                            _cc_objs_memo)
+
+    binary = np.zeros((20, 20, 20), bool)
+    binary[2:5, 2:5, 2:5] = True
+    binary[10:14, 11:13, 3:9] = True
+    binary[17:19, 1:3, 15:20] = True
+
+    cc, ncc = ndimage.label(binary)
+    n, bboxes = _cc_bboxes(binary)
+    assert n == ncc == 3
+    assert list(bboxes) == ndimage.find_objects(cc)
+    n, cents = _cc_centroids(binary)
+    assert n == 3
+    for got, want in zip(cents,
+                         (ndimage.center_of_mass(cc == i) for i in (1, 2, 3))):
+        np.testing.assert_allclose(got, want)
+
+    before = len(_cc_objs_memo)
+    _cc_bboxes(binary)  # second call: memo hit, no growth
+    assert len(_cc_objs_memo) == before
+
+
+def test_random_crop_integral_fallback_matches(rng):
+    """Hot-rejection crops (many misses before accept) route through the
+    lazily-built integral image; acceptance must match the direct count."""
+    from vnet_tpu.data import rand as vrand
+    from vnet_tpu.data.transforms3d import RandomCrop
+
+    lbl = np.zeros((40, 40, 40), np.uint8)
+    lbl[:6, :6, :6] = 1  # 216 voxels in one corner
+    img = MedicalImage(np.zeros((40, 40, 40), np.float32))
+    s = {"image": [img], "label": MedicalImage(lbl)}
+    t = RandomCrop([16, 16, 16], drop_ratio=0.0, min_pixel=200)
+    vrand.seed(11)
+    out = t(s)
+    # drop_ratio 0 means the accepted crop MUST contain >=200 label voxels,
+    # regardless of whether the direct or integral path judged it
+    assert int((out["label"].data >= 1).sum()) >= 200
