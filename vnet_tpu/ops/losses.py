@@ -41,8 +41,15 @@ LOSS_NAMES = (
 
 
 def dice_coe(output, target, loss_type: str = "jaccard", axis=(1, 2, 3),
-             weights: Sequence[float] = (), smooth: float = 1e-5):
-    """Soft dice coefficient (1 = perfect overlap). See `model.py:26-85`."""
+             weights: Sequence[float] = (), smooth: float = 1e-5,
+             partition_axis: str = None):
+    """Soft dice coefficient (1 = perfect overlap). See `model.py:26-85`.
+
+    ``partition_axis``: name of a mesh axis the spatial dims are sharded
+    over (inside ``shard_map``) — the per-(batch, class) sufficient
+    statistics are ``psum``-ed over it so the dice equals the unsharded
+    value exactly (`vnet_tpu/parallel/spatial.py` training path).
+    """
     output = output.astype(jnp.float32)
     target = target.astype(jnp.float32)
     axis = tuple(axis)
@@ -56,6 +63,10 @@ def dice_coe(output, target, loss_type: str = "jaccard", axis=(1, 2, 3),
         r = jnp.sum(target, axis=axis)
     else:
         raise ValueError(f"Unknown loss_type: {loss_type!r}")
+    if partition_axis is not None:
+        inse = jax.lax.psum(inse, partition_axis)
+        l = jax.lax.psum(l, partition_axis)
+        r = jax.lax.psum(r, partition_axis)
 
     if len(weights):
         w = jnp.asarray(weights, dtype=jnp.float32)
@@ -69,25 +80,37 @@ def dice_coe(output, target, loss_type: str = "jaccard", axis=(1, 2, 3),
     return jnp.mean(dice)
 
 
-def softmax_cross_entropy(labels_onehot, logits):
-    """Mean softmax cross entropy, numerically stable via log_softmax."""
+def softmax_cross_entropy(labels_onehot, logits, partition_axis: str = None):
+    """Mean softmax cross entropy, numerically stable via log_softmax.
+
+    ``partition_axis``: equal-sized spatial shards mean the global voxel
+    mean is the ``pmean`` of local means.
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     per_voxel = -jnp.sum(labels_onehot.astype(jnp.float32) * logp, axis=-1)
-    return jnp.mean(per_voxel)
+    loss = jnp.mean(per_voxel)
+    if partition_axis is not None:
+        loss = jax.lax.pmean(loss, partition_axis)
+    return loss
 
 
-def weighted_softmax_cross_entropy(labels_onehot, logits, weights):
+def weighted_softmax_cross_entropy(labels_onehot, logits, weights,
+                                   partition_axis: str = None):
     """Class-weighted xent (`model.py:87-92`): weight of each voxel is the
     weight of its true class."""
     w = jnp.asarray(weights, dtype=jnp.float32)
     voxel_w = jnp.sum(w * labels_onehot.astype(jnp.float32), axis=-1)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     per_voxel = -jnp.sum(labels_onehot.astype(jnp.float32) * logp, axis=-1)
-    return jnp.mean(per_voxel * voxel_w)
+    loss = jnp.mean(per_voxel * voxel_w)
+    if partition_axis is not None:
+        loss = jax.lax.pmean(loss, partition_axis)
+    return loss
 
 
 def segmentation_loss(logits, labels, *, name: str, num_classes: int,
-                      weights: Sequence[float] = (), alpha: float = 1.0):
+                      weights: Sequence[float] = (), alpha: float = 1.0,
+                      partition_axis: str = None):
     """Dispatch of the reference's loss zoo (`model.py:495-560`).
 
     Args:
@@ -97,6 +120,9 @@ def segmentation_loss(logits, labels, *, name: str, num_classes: int,
       num_classes: C.
       weights: per-class weights for the ``weighted_*`` variants.
       alpha: xent mixing factor for the ``mixed_*`` variants.
+      partition_axis: mesh axis name the spatial dims are sharded over
+        (``shard_map`` spatial-parallel training); reductions become
+        collective so the loss matches the unsharded value exactly.
 
     Returns:
       ``(loss, aux)`` where aux holds the logged components
@@ -113,12 +139,14 @@ def segmentation_loss(logits, labels, *, name: str, num_classes: int,
 
     def _dice(loss_type, weighted):
         return dice_coe(softmax, onehot, loss_type=loss_type, axis=dice_axis,
-                        weights=weights if weighted else ())
+                        weights=weights if weighted else (),
+                        partition_axis=partition_axis)
 
     if name == "xent":
-        loss = softmax_cross_entropy(onehot, logits)
+        loss = softmax_cross_entropy(onehot, logits, partition_axis)
     elif name == "weighted_xent":
-        loss = weighted_softmax_cross_entropy(onehot, logits, weights)
+        loss = weighted_softmax_cross_entropy(onehot, logits, weights,
+                                              partition_axis)
     elif name in ("sorensen", "weighted_sorensen"):
         loss = 1.0 - _dice("sorensen", name.startswith("weighted"))
     elif name in ("jaccard", "weighted_jaccard"):
@@ -127,9 +155,10 @@ def segmentation_loss(logits, labels, *, name: str, num_classes: int,
         weighted = "weighted" in name
         loss_type = "sorensen" if "sorensen" in name else "jaccard"
         if weighted:
-            xent = weighted_softmax_cross_entropy(onehot, logits, weights)
+            xent = weighted_softmax_cross_entropy(onehot, logits, weights,
+                                                  partition_axis)
         else:
-            xent = softmax_cross_entropy(onehot, logits)
+            xent = softmax_cross_entropy(onehot, logits, partition_axis)
         dice_loss = 1.0 - _dice(loss_type, weighted)
         aux["dice"] = dice_loss
         aux["regularized_xent"] = alpha * xent

@@ -27,8 +27,14 @@ Mechanics:
   the unsharded ones exactly.
 
 Requirements: the local shard size along the sharded axis must stay even
-through every level, i.e. ``dim % (shards * 2**num_levels) == 0``; train
-mode (EMA updates, dropout) is out of scope — this is an inference path.
+through every level, i.e. ``dim % (shards * 2**num_levels) == 0``.
+
+``spatial_sharded_forward`` is the inference path (one whole volume);
+``spatial_sharded_train_step`` is the training path (batch of patches
+larger than one chip's HBM): train-mode BatchNorm moments ``pmean`` over
+the partition, the loss statistics ``psum``, and ``jax.grad`` taken
+through the ``shard_map`` — matching the unsharded step exactly
+(dropout uses per-shard streams).
 """
 
 from __future__ import annotations
@@ -158,3 +164,99 @@ def spatial_sharded_forward(network, variables, volume, mesh: Mesh,
                    check_vma=False)
     sharded_vol = jax.device_put(volume, NamedSharding(mesh, spec))
     return jax.jit(fn)(variables, sharded_vol)
+
+
+def spatial_sharded_train_step(network, tx, mesh: Mesh, *, loss_name: str,
+                               num_classes: int, weights=(),
+                               alpha: float = 1.0,
+                               axis_name: str = "space",
+                               spatial_axis: int = 0,
+                               num_levels: Optional[int] = None):
+    """Build a jitted TRAIN step with activations sharded along one
+    spatial axis — train on patches larger than one chip's HBM (the
+    training-side analog of sequence parallelism, SURVEY §5.7).
+
+    Semantics vs the unsharded step (verified in
+    tests/test_spatial_sharded.py):
+
+    * convs: halo exchange per stencil op — identical activations.
+    * train-mode BatchNorm: batch moments are ``pmean``-ed over the
+      partition (`models/layers.py`), equal to the unsharded moments with
+      equal shard sizes; EMA updates therefore also match.
+    * loss: the dice/xent sufficient statistics are ``psum``-ed
+      (``segmentation_loss(partition_axis=...)``) — global loss, exact.
+    * gradients: ``jax.grad`` differentiates THROUGH the ``shard_map``
+      (grad outside, the canonical pattern): with ``check_vma=True`` the
+      VMA machinery transposes the loss ``psum`` to a broadcast and the
+      replicated-parameter boundary to a ``psum``, yielding the exact
+      global gradient. (Taking grad INSIDE the shard_map mis-transposes
+      the collectives and over-counts — measured 4x at 4 shards.)
+    * dropout: per-shard fold_in streams — same keep rate, different
+      noise sites than the unsharded step (dropout is the one stochastic
+      deviation; rate 0 is bitwise-equivalent modulo float reduction
+      order).
+
+    Args:
+      network: flax module; ``tx``: optax transform.
+      loss_name/num_classes/weights/alpha: as ``segmentation_loss``.
+      spatial_axis: which spatial dim of ``(B, *spatial[, C])`` inputs is
+        sharded.
+
+    Returns ``step(carry, images, labels, rng) -> (carry, loss)`` where
+    ``carry = (params, batch_stats, opt_state)`` is replicated, ``images``
+    ``(B, *spatial, C)`` and ``labels`` ``(B, *spatial)`` are sharded on
+    ``1 + spatial_axis``. The function handles device_put of the inputs;
+    the carry stays replicated across calls.
+    """
+    import optax  # deferred: optax is train-path-only
+    from ..ops.losses import segmentation_loss
+
+    shards = mesh.shape[axis_name]
+
+    def _spec_for(ndim, offset=1):
+        parts = [None] * ndim
+        parts[offset + spatial_axis] = axis_name
+        return P(*parts)
+
+    def local_loss(params, batch_stats, images, labels, rng):
+        with spatial_partition_scope(axis_name, spatial_axis):
+            drop_rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(axis_name))
+            out, mut = network.apply(
+                {"params": params, "batch_stats": batch_stats}, images,
+                train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"])
+            loss, _ = segmentation_loss(
+                out, labels, name=loss_name, num_classes=num_classes,
+                weights=weights, alpha=alpha, partition_axis=axis_name)
+        return loss, mut["batch_stats"]
+
+    def step(carry, images, labels, rng):
+        rank = images.ndim - 2
+        if not 0 <= spatial_axis < rank:
+            raise ValueError(f"spatial_axis {spatial_axis} out of range "
+                             f"for rank-{rank} inputs")
+        levels = num_levels if num_levels is not None else getattr(
+            network, "num_levels", 0)
+        validate_partition(images.shape[1:], spatial_axis, shards, levels)
+        img_spec = _spec_for(images.ndim)
+        lbl_spec = _spec_for(labels.ndim)
+        sharded_loss = shard_map(
+            local_loss, mesh=mesh,
+            in_specs=(P(), P(), img_spec, lbl_spec, P()),
+            out_specs=(P(), P()), check_vma=True)
+
+        def train_step(params, batch_stats, opt_state, im, lb, r):
+            (loss, new_bs), grads = jax.value_and_grad(
+                sharded_loss, has_aux=True)(params, batch_stats, im, lb, r)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return (new_params, new_bs, new_opt), loss
+
+        images = jax.device_put(images, NamedSharding(mesh, img_spec))
+        labels = jax.device_put(labels, NamedSharding(mesh, lbl_spec))
+        params, batch_stats, opt_state = carry
+        return jax.jit(train_step)(params, batch_stats, opt_state, images,
+                                   labels, rng)
+
+    return step
