@@ -316,3 +316,38 @@ def test_auc_and_scan_perf_streams(tmp_path, rng):
     assert any(n.startswith("metrics/auc") for n in names), names
     assert "perf/step_time_s" in names
     assert "perf/patches_per_s" in names
+
+
+def test_space_parallel_train_step_matches_dp(tmp_path, rng):
+    """Mesh.SpaceParallel > 1 spatially partitions each patch (GSPMD conv
+    halos). Semantics preserved: same inputs + same rng give the same loss
+    and parameters as a data-parallel-only mesh."""
+    # SGD: BN-shadowed biases have zero true gradient; Adam would amplify
+    # the float noise into visible parameter differences
+    sgd = {"Optimizer": {"Name": "SGD", "InitialLearningRate": 1e-2,
+                         "Decay": {"Factor": 0.99, "Steps": 100}}}
+    cfg_dp = load_config(write_config(tmp_path, rng, batch_size=2,
+                                      patch=(32, 16, 16), **sgd))
+    tr_dp = Trainer(cfg_dp, log=False)
+
+    cfg_sp = load_config(write_config(
+        tmp_path, rng, batch_size=2, patch=(32, 16, 16),
+        **{"Mesh": {"DataParallel": 2, "SpaceParallel": 4}, **sgd}))
+    tr_sp = Trainer(cfg_sp, log=False)
+    assert dict(tr_sp.mesh.shape) == {"data": 2, "space": 4}
+
+    s_dp = tr_dp.init_state()
+    s_sp = tr_sp.init_state()
+    images = rng.normal(size=tr_dp.batch_shape()).astype(np.float32)
+    labels = (rng.random(tr_dp.batch_shape()[:-1]) > 0.7).astype(np.int32)
+    key = jax.random.PRNGKey(0)
+    for _ in range(2):
+        s_dp, out_dp = tr_dp.train_step(s_dp, images, labels, key)
+        s_sp, out_sp = tr_sp.train_step(s_sp, images, labels, key)
+    np.testing.assert_allclose(float(out_dp.loss), float(out_sp.loss),
+                               rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
+            rtol=1e-4, atol=1e-5),
+        s_dp.params, s_sp.params)

@@ -123,6 +123,10 @@ class TrainingConfig:
     # >1: multi-slice deployment — the data axis spans DCN (slices) major
     # x ICI minor (parallel/mesh.py::make_multislice_mesh)
     mesh_dcn_parallel: int = 0
+    # >1: spatially partition each patch's first spatial dim over this
+    # many devices (GSPMD: XLA inserts conv halo collectives) — train on
+    # patches larger than one chip's HBM; batch must divide data x 1
+    mesh_space_parallel: int = 1
     seed: int = 0
     # >1: run this many optimizer steps inside one jitted lax.scan over a
     # stacked super-batch — amortizes per-call dispatch overhead
@@ -276,6 +280,8 @@ def parse_config(tree: dict) -> Config:
                                if isinstance(ts.get("Mesh"), dict) else 0),
         mesh_dcn_parallel=int(ts.get("Mesh", {}).get("DcnDataParallel", 0)
                               if isinstance(ts.get("Mesh"), dict) else 0),
+        mesh_space_parallel=int(ts.get("Mesh", {}).get("SpaceParallel", 1)
+                                if isinstance(ts.get("Mesh"), dict) else 1),
         seed=int(ts.get("Seed", 0)),
     )
 

@@ -50,7 +50,14 @@ def make_mesh(data_parallel: int = 0, space_parallel: int = 1,
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over the data axis."""
+    """Shard the leading (batch) dim over the data axis; when the mesh has
+    a non-trivial ``space`` axis, additionally shard the first spatial dim
+    over it (GSPMD spatial partitioning: XLA propagates the sharding
+    through the convs and inserts the halo collectives — the compiler-
+    managed counterpart of `vnet_tpu/parallel/spatial.py`'s explicit
+    shard_map halos)."""
+    if SPACE_AXIS in mesh.shape and mesh.shape[SPACE_AXIS] > 1:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 

@@ -153,21 +153,24 @@ class Trainer:
     def __init__(self, config: Config, mesh=None, log: bool = True):
         self.config = config
         self.t = config.train
+        sp = max(int(self.t.mesh_space_parallel), 1)
         if mesh is not None:
             self.mesh = mesh
         elif self.t.mesh_dcn_parallel > 1:
             from ..parallel.mesh import make_multislice_mesh
             self.mesh = make_multislice_mesh(
                 ici_data_parallel=self.t.mesh_data_parallel,
-                dcn_data_parallel=self.t.mesh_dcn_parallel)
+                dcn_data_parallel=self.t.mesh_dcn_parallel,
+                space_parallel=sp)
         else:
             dp = self.t.mesh_data_parallel
             if dp <= 0:
                 # the data axis must divide the global batch: use the largest
-                # device count that does
+                # device count that does (within the space-parallel budget)
                 import math
-                dp = math.gcd(self.t.batch_size, len(jax.devices()))
-            self.mesh = make_mesh(dp, devices=jax.devices()[:dp])
+                dp = math.gcd(self.t.batch_size, len(jax.devices()) // sp)
+            self.mesh = make_mesh(dp, space_parallel=sp,
+                                  devices=jax.devices()[:dp * sp])
         self.log_enabled = log
         self.dtype = (jnp.bfloat16 if self.t.precision == "bfloat16"
                       else jnp.float32)
