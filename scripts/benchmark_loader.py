@@ -73,9 +73,15 @@ def build_dataset(data_dir: str, patch, variant: str, cache_cases: int = 0):
         T.StatisticalNormalization(2.5),
         T.Resample((0.75, 0.75, 0.75)),
         T.Padding([patch] * 3),
-        T.RandomCrop([patch] * 3, drop_ratio=0.1, min_pixel=10),
     ]
-    if variant == "full":
+    if variant == "confidence":
+        # the reference production pipeline's sampler
+        # (pipeline/pipeline3D.yaml: ConfidenceCrop2 rand 32 p 0.8)
+        tfms.append(T.ConfidenceCrop2([patch] * 3, rand_range=8,
+                                      probability=0.8))
+    else:
+        tfms.append(T.RandomCrop([patch] * 3, drop_ratio=0.1, min_pixel=10))
+    if variant in ("full", "confidence"):
         tfms.append(T.RandomNoise())
     return NiftiDataset3D(
         data_dir, ["image.nii.gz"], "label.nii.gz", transforms=tfms,
@@ -85,9 +91,11 @@ def build_dataset(data_dir: str, patch, variant: str, cache_cases: int = 0):
 def run(variant: str, args, data_dir) -> dict:
     from vnet_tpu.data.loader import BatchLoader
 
-    ds = build_dataset(data_dir, args.patch,
-                       "full" if variant == "cached" else variant,
-                       cache_cases=args.cases if variant == "cached" else 0)
+    base = {"cached": "full", "confidence": "confidence"}.get(variant, variant)
+    ds = build_dataset(data_dir, args.patch, base,
+                       cache_cases=(args.cases
+                                    if variant in ("cached", "confidence")
+                                    else 0))
     loader = BatchLoader(ds, batch_size=args.batch, shuffle=True,
                          num_workers=args.workers, backend=args.backend,
                          prefetch=2 * args.batch, seed=0)
@@ -132,7 +140,7 @@ def main():
                     choices=["thread", "process"])
     ap.add_argument("--batches", type=int, default=20)
     ap.add_argument("--variant", default="both",
-                    choices=["full", "lean", "cached", "both"])
+                    choices=["full", "lean", "cached", "confidence", "both"])
     ap.add_argument("--data_dir", default="",
                     help="reuse an existing case dir instead of generating")
     args = ap.parse_args()
@@ -144,7 +152,8 @@ def main():
         tmp = tempfile.mkdtemp(prefix="loaderbench_")
         data_dir = make_cases(tmp, args.cases, tuple(args.size), rng)
 
-    variants = (["full", "lean", "cached"] if args.variant == "both"
+    variants = (["full", "lean", "cached", "confidence"]
+                if args.variant == "both"
                 else [args.variant])
     for v in variants:
         print(json.dumps(run(v, args, data_dir)), flush=True)

@@ -327,3 +327,24 @@ def test_case_cache_thread_safe_under_eviction(tmp_path, rng):
         t.join()
     assert not errors, errors
     assert len(ds._prefix_cache) <= 2
+
+
+def test_warm_cache_prefills_cc_memo(tmp_path, rng):
+    """warm_cache also warms the ConfidenceCrop2 CC memo (module-level,
+    so per-epoch forked workers inherit it copy-on-write)."""
+    from vnet_tpu.data import transforms3d as T
+    from vnet_tpu.data.transforms3d import _cc_objs_memo, _label_digest
+    from vnet_tpu.data.dataset3d import NiftiDataset3D
+    from fixtures import make_dataset_dir
+
+    make_dataset_dir(str(tmp_path), "training", num_cases=2, rng=rng)
+    ds = NiftiDataset3D(
+        str(tmp_path / "training"), ["image.nii"], "label.nii",
+        transforms=[T.Padding([24, 24, 24]),
+                    T.ConfidenceCrop2([16, 16, 16], rand_range=2,
+                                      probability=1.0)],
+        train=True, labels=[0, 1], cache_cases=2)
+    ds.warm_cache()
+    assert len(ds._prefix_cache) == 2
+    for sample in ds._prefix_cache.values():
+        assert _label_digest(sample["label"].data >= 1) in _cc_objs_memo

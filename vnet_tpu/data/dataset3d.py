@@ -110,6 +110,14 @@ class NiftiDataset3D:
         the parent lets every fork inherit the cache via copy-on-write."""
         if self.cache_cases <= 0 or self._n_deterministic == 0:
             return
+        # the stochastic crops' per-case CC memo (transforms3d) is
+        # module-level: warming it here lets every per-epoch fork inherit
+        # the bboxes/centroids instead of re-labeling each case per epoch
+        tail_names = {type(t).__name__
+                      for t in self.transforms[self._n_deterministic:]}
+        warm_cc = tail_names & {"ConfidenceCrop", "ConfidenceCrop2"}
+        if warm_cc:
+            from .transforms3d import _cc_bboxes, _cc_centroids
         for case in self.cases[:self.cache_cases]:
             if case in self._prefix_cache:
                 continue
@@ -117,6 +125,10 @@ class NiftiDataset3D:
             for t in self.transforms[:self._n_deterministic]:
                 sample = t(sample)
             self._prefix_cache[case] = sample
+            if "ConfidenceCrop2" in warm_cc:
+                _cc_bboxes(sample["label"].data >= 1)
+            if "ConfidenceCrop" in warm_cc:
+                _cc_centroids(sample["label"].data >= 1)
 
     def load_case(self, case: str):
         """Read + header-check + remap, no transforms. Returns the sample
