@@ -75,9 +75,10 @@ def build_dataset(data_dir: str, patch, variant: str, cache_cases: int = 0):
         T.Padding([patch] * 3),
     ]
     if variant == "confidence":
-        # the reference production pipeline's sampler
-        # (pipeline/pipeline3D.yaml: ConfidenceCrop2 rand 32 p 0.8)
-        tfms.append(T.ConfidenceCrop2([patch] * 3, rand_range=8,
+        # the reference production pipeline's sampler, jitter scaled to
+        # the patch size (pipeline/pipeline3D.yaml: ConfidenceCrop2
+        # rand 32 p 0.8 at 128^3 -> rand 16 at the default 64^3)
+        tfms.append(T.ConfidenceCrop2([patch] * 3, rand_range=patch // 4,
                                       probability=0.8))
     else:
         tfms.append(T.RandomCrop([patch] * 3, drop_ratio=0.1, min_pixel=10))

@@ -351,3 +351,29 @@ def test_space_parallel_train_step_matches_dp(tmp_path, rng):
             np.asarray(jax.device_get(a)), np.asarray(jax.device_get(b)),
             rtol=1e-4, atol=1e-5),
         s_dp.params, s_sp.params)
+
+
+def test_space_parallel_scan_steps_matches_dp(tmp_path, rng):
+    """ScanSteps > 1 must keep Mesh.SpaceParallel active (the super-batch
+    sharding includes the space axis) and reproduce the DP-only results."""
+    sgd = {"Optimizer": {"Name": "SGD", "InitialLearningRate": 1e-2,
+                         "Decay": {"Factor": 0.99, "Steps": 100}},
+           "ScanSteps": 2}
+    cfg_dp = load_config(write_config(tmp_path, rng, batch_size=2,
+                                      patch=(32, 16, 16), **sgd))
+    tr_dp = Trainer(cfg_dp, log=False)
+    cfg_sp = load_config(write_config(
+        tmp_path, rng, batch_size=2, patch=(32, 16, 16),
+        **{"Mesh": {"DataParallel": 2, "SpaceParallel": 2}, **sgd}))
+    tr_sp = Trainer(cfg_sp, log=False)
+
+    s_dp = tr_dp.init_state()
+    s_sp = tr_sp.init_state()
+    images = rng.normal(size=(2, *tr_dp.batch_shape())).astype(np.float32)
+    labels = (rng.random((2, *tr_dp.batch_shape()[:-1])) > 0.7).astype(
+        np.int32)
+    key = jax.random.PRNGKey(0)
+    s_dp, outs_dp = tr_dp.train_steps_scanned(s_dp, images, labels, key)
+    s_sp, outs_sp = tr_sp.train_steps_scanned(s_sp, images, labels, key)
+    for a, b in zip(outs_dp, outs_sp):
+        np.testing.assert_allclose(float(a.loss), float(b.loss), rtol=1e-5)

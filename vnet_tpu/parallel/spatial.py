@@ -229,7 +229,34 @@ def spatial_sharded_train_step(network, tx, mesh: Mesh, *, loss_name: str,
             loss, _ = segmentation_loss(
                 out, labels, name=loss_name, num_classes=num_classes,
                 weights=weights, alpha=alpha, partition_axis=axis_name)
-        return loss, mut["batch_stats"]
+        # norms without a batch_stats collection (group/instance/none)
+        # mutate nothing — return the empty dict rather than KeyError
+        return loss, mut.get("batch_stats", {})
+
+    # one compiled executable per input rank — building the shard_map/jit
+    # inside step() would retrace and recompile EVERY call (jit caches by
+    # function identity)
+    _jitted = {}
+
+    def _get_jitted(img_ndim, lbl_ndim):
+        key = (img_ndim, lbl_ndim)
+        if key not in _jitted:
+            sharded_loss = shard_map(
+                local_loss, mesh=mesh,
+                in_specs=(P(), P(), _spec_for(img_ndim), _spec_for(lbl_ndim),
+                          P()),
+                out_specs=(P(), P()), check_vma=True)
+
+            def train_step(params, batch_stats, opt_state, im, lb, r):
+                (loss, new_bs), grads = jax.value_and_grad(
+                    sharded_loss, has_aux=True)(params, batch_stats, im, lb,
+                                                r)
+                updates, new_opt = tx.update(grads, opt_state, params)
+                new_params = optax.apply_updates(params, updates)
+                return (new_params, new_bs, new_opt), loss
+
+            _jitted[key] = jax.jit(train_step)
+        return _jitted[key]
 
     def step(carry, images, labels, rng):
         rank = images.ndim - 2
@@ -239,24 +266,12 @@ def spatial_sharded_train_step(network, tx, mesh: Mesh, *, loss_name: str,
         levels = num_levels if num_levels is not None else getattr(
             network, "num_levels", 0)
         validate_partition(images.shape[1:], spatial_axis, shards, levels)
-        img_spec = _spec_for(images.ndim)
-        lbl_spec = _spec_for(labels.ndim)
-        sharded_loss = shard_map(
-            local_loss, mesh=mesh,
-            in_specs=(P(), P(), img_spec, lbl_spec, P()),
-            out_specs=(P(), P()), check_vma=True)
-
-        def train_step(params, batch_stats, opt_state, im, lb, r):
-            (loss, new_bs), grads = jax.value_and_grad(
-                sharded_loss, has_aux=True)(params, batch_stats, im, lb, r)
-            updates, new_opt = tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return (new_params, new_bs, new_opt), loss
-
-        images = jax.device_put(images, NamedSharding(mesh, img_spec))
-        labels = jax.device_put(labels, NamedSharding(mesh, lbl_spec))
+        fn = _get_jitted(images.ndim, labels.ndim)
+        images = jax.device_put(
+            images, NamedSharding(mesh, _spec_for(images.ndim)))
+        labels = jax.device_put(
+            labels, NamedSharding(mesh, _spec_for(labels.ndim)))
         params, batch_stats, opt_state = carry
-        return jax.jit(train_step)(params, batch_stats, opt_state, images,
-                                   labels, rng)
+        return fn(params, batch_stats, opt_state, images, labels, rng)
 
     return step

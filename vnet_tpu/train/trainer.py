@@ -249,8 +249,15 @@ class Trainer:
 
         if self.t.scan_steps > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ..parallel.mesh import DATA_AXIS
-            super_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
+            from ..parallel.mesh import DATA_AXIS, SPACE_AXIS
+            # keep spatial partitioning active for the stacked super-batch
+            # (S, B, *spatial): same spec as batch_sharding, scan-dim major
+            if (SPACE_AXIS in self.mesh.shape
+                    and self.mesh.shape[SPACE_AXIS] > 1):
+                super_sh = NamedSharding(self.mesh,
+                                         P(None, DATA_AXIS, SPACE_AXIS))
+            else:
+                super_sh = NamedSharding(self.mesh, P(None, DATA_AXIS))
 
             def multi(state, images, labels, rng):
                 def body(st, inp):
