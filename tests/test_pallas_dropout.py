@@ -116,3 +116,25 @@ def test_config_knob_reaches_network():
         "EvaluationSetting": {"Data": {"EvaluateDataDirectory": ""}},
     })
     assert cfg.train.network.dropout_impl == "pallas"
+
+
+def test_is_tpu_backend_detects_remote_plugin(monkeypatch):
+    """Remote-TPU plugins can register under a non-'tpu' platform name
+    (this environment's tunnel registers as 'axon' with device_kind
+    'TPU v5 lite'); the probe must still detect TPU hardware."""
+    import vnet_tpu.ops.pallas as pk
+
+    class FakeDev:
+        platform = "axon"
+        device_kind = "TPU v5 lite"
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    monkeypatch.setattr(jax, "devices", lambda: [FakeDev()])
+    assert pk.is_tpu_backend() is True
+
+    class FakeCpu:
+        platform = "cpu"
+        device_kind = "cpu"
+
+    monkeypatch.setattr(jax, "devices", lambda: [FakeCpu()])
+    assert pk.is_tpu_backend() is False
