@@ -48,6 +48,10 @@ def _run():
     patch = (side, side, side)
     batch = int(os.environ.get("VNET_BENCH_BATCH", 96))
     scan_k = int(os.environ.get("VNET_BENCH_SCAN", 4))
+    # A/B knobs for the round-2 non-conv levers (tmp/exp_r2b.py measures
+    # the same variants); defaults are the production configuration
+    dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL", "xla")
+    opt_name = os.environ.get("VNET_BENCH_OPT", "adam")  # adam | fused
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
@@ -55,12 +59,17 @@ def _run():
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
-                 packed_target_lanes=128)
+                 packed_target_lanes=128, dropout_impl=dropout_impl)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, x, train=True)
-    tx = optax.adam(optax.exponential_decay(1e-2, 100, 0.99))
+    schedule = optax.exponential_decay(1e-2, 100, 0.99)
+    if opt_name == "fused":
+        from vnet_tpu.train.optim import fused_adam
+        tx = fused_adam(schedule)
+    else:
+        tx = optax.adam(schedule)
 
     host = np.random.default_rng(0)
     images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
