@@ -20,17 +20,30 @@ estimate of the TF1 1.15 single-GPU reference at the same 64^3 workload
 
 Sync note: through this environment's remote TPU tunnel, only a scalar
 host transfer (float(loss)) reliably waits for device completion.
+
+Robustness: the tunnel's backend init can HANG for ~25 minutes when the
+link is down (observed Aug 17: BENCH_r02 died rc=124 against exactly
+this). A hung init holds jax's in-process backend lock forever, so
+retrying in the same process is useless. ``main()`` therefore supervises
+the benchmark in a child subprocess: the child probes ``jax.devices()``
+in a daemon thread bounded by VNET_BENCH_PROBE_TIMEOUT (default 120 s)
+and exits fast (rc 42) if init hangs or fails; the parent kills any
+child that exceeds VNET_BENCH_CHILD_TIMEOUT and retries with a fresh
+process, so one hang costs minutes, not the driver's whole window.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 from functools import partial
 
 REFERENCE_TF1_PATCHES_PER_SEC = 25.0  # documented estimate, see docstring
+
+PROBE_FAILED_RC = 42  # child exit code: backend init hung or failed
 
 
 def _run():
@@ -48,6 +61,7 @@ def _run():
     patch = (side, side, side)
     batch = int(os.environ.get("VNET_BENCH_BATCH", 96))
     scan_k = int(os.environ.get("VNET_BENCH_SCAN", 4))
+    channels = int(os.environ.get("VNET_BENCH_CHANNELS", 16))
     # A/B knobs for the round-2 non-conv levers (tmp/exp_r2b.py measures
     # the same variants); defaults are the production configuration
     dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL", "xla")
@@ -55,7 +69,7 @@ def _run():
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
-    model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
+    model = VNet(num_classes=num_classes, num_channels=channels, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
@@ -130,16 +144,61 @@ def _run():
     }))
 
 
-def main():
-    # the remote-TPU tunnel occasionally drops a run with a transient
-    # UNAVAILABLE/FAILED_PRECONDITION; a fresh attempt recompiles from the
-    # server-side cache in ~minutes, so retrying the whole run is cheap
-    # insurance for the recorded metric. Deterministic failures repeat and
-    # surface after the last attempt.
+def _bounded_device_probe(timeout_s: float):
+    """Probe jax.devices() in a daemon thread bounded by ``timeout_s``.
+
+    Returns the device count (int >= 1) on success, 0 if init raised
+    (e.g. UNAVAILABLE while the tunnel is down), or None if init is
+    still hanging at the deadline. Mirrors __graft_entry__._visible_devices.
+    """
+    import threading
+
+    result = [0]
+
+    def probe():
+        fake = os.environ.get("VNET_BENCH_FAKE_HANG_ONCE")
+        if fake and not os.path.exists(fake):
+            # test hook: simulate a backend-init hang exactly once
+            open(fake, "w").close()
+            time.sleep(86400)
+        try:
+            import jax
+            result[0] = len(jax.devices())
+        except Exception as e:
+            print(f"bench probe: backend init failed "
+                  f"({type(e).__name__}: {str(e)[:200]})",
+                  file=sys.stderr, flush=True)
+            result[0] = 0
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return None if t.is_alive() else result[0]
+
+
+def _child():
+    """One benchmark attempt: bounded init probe, then the run itself
+    (with in-process retries for transient post-init failures, which reuse
+    the already-initialized backend and the server-side compile cache)."""
+    # tests force CPU via env; this environment's sitecustomize points jax
+    # at the tunneled TPU with config.update at interpreter start, so the
+    # env var alone does not win — re-assert it before backend init.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    probe_timeout = float(os.environ.get("VNET_BENCH_PROBE_TIMEOUT", 120))
+    n = _bounded_device_probe(probe_timeout)
+    if not n:
+        state = "hung past %.0f s" % probe_timeout if n is None else "failed"
+        print(f"bench probe: backend init {state}; aborting this attempt",
+              file=sys.stderr, flush=True)
+        return PROBE_FAILED_RC
     attempts = int(os.environ.get("VNET_BENCH_ATTEMPTS", 3))
     for i in range(attempts):
         try:
-            return _run()
+            _run()
+            return 0
         except KeyboardInterrupt:
             raise
         except Exception as e:
@@ -149,6 +208,34 @@ def main():
                   f"({type(e).__name__}: {str(e)[:200]}); retrying",
                   file=sys.stderr, flush=True)
             time.sleep(30)
+
+
+def main():
+    if "--child" in sys.argv:
+        return _child()
+    # Supervise attempts in fresh subprocesses: a hung backend init poisons
+    # the process (the init lock never releases), so only a new process can
+    # actually retry. Child inherits stdout so the JSON line reaches the
+    # driver directly.
+    attempts = int(os.environ.get("VNET_BENCH_PARENT_ATTEMPTS", 6))
+    child_timeout = float(os.environ.get("VNET_BENCH_CHILD_TIMEOUT", 2400))
+    retry_sleep = float(os.environ.get("VNET_BENCH_RETRY_SLEEP", 60))
+    for i in range(attempts):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                timeout=child_timeout).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            print(f"bench parent: child exceeded {child_timeout:.0f} s; killed",
+                  file=sys.stderr, flush=True)
+        if rc == 0:
+            return 0
+        print(f"bench parent: attempt {i + 1}/{attempts} rc={rc}",
+              file=sys.stderr, flush=True)
+        if i < attempts - 1:
+            time.sleep(retry_sleep)
+    return 1
 
 
 if __name__ == "__main__":
