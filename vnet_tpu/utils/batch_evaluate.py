@@ -14,6 +14,11 @@ Metrics parity:
   TP when an output CC centroid lies within ``tolerance`` (physical mm) of
   a ground-truth centroid (batch_evaluate.py:30-118), with the reference's
   output-CC extent filter (bbox z-thickness >= 6, x/y extent >= 2).
+* ``lesion_volume_buckets`` — the stride sweep's small/large lesion volume
+  accounting (batch_evaluate_stride.py:55-86): CCs below the volume of an
+  r=1 mm sphere are ignored, the rest are split at the volume of an
+  r=2.5 mm sphere; per-bucket summed physical volumes are reported for
+  ground truth and (extent-filtered) output.
 """
 
 from __future__ import annotations
@@ -84,6 +89,47 @@ def lesion_detection(ground_truth: MedicalImage, output: MedicalImage,
     return {"TP": tp, "FP": fp, "FN": fn, "sensitivity": sens, "IoU": iou}
 
 
+# Volume thresholds of the stride sweep (batch_evaluate_stride.py:60-64):
+# CCs smaller than an r=1 mm sphere are ignored; the small/large split is
+# at the volume of an r=2.5 mm sphere.
+_MIN_LESION_VOLUME = 4.0 / 3.0 * np.pi
+_SMALL_LESION_VOLUME = 4.0 / 3.0 * np.pi * 2.5 ** 3
+
+
+def _bucket_volumes(image: MedicalImage, extent_filter: bool = False,
+                    thickness_threshold: int = 6) -> Tuple[float, float]:
+    cc, n = ndimage.label(image.data > 0)
+    voxel_vol = float(np.prod(image.spacing))
+    counts = np.bincount(cc.ravel(), minlength=n + 1)
+    objects = ndimage.find_objects(cc)
+    small = large = 0.0
+    for i in range(n):
+        if extent_filter:
+            ext = [s.stop - s.start for s in objects[i]]
+            if ext[2] < thickness_threshold or ext[0] < 2 or ext[1] < 2:
+                continue  # batch_evaluate_stride.py:76-80
+        size = counts[i + 1] * voxel_vol
+        if size < _MIN_LESION_VOLUME:
+            continue
+        if size < _SMALL_LESION_VOLUME:
+            small += size
+        else:
+            large += size
+    return small, large
+
+
+def lesion_volume_buckets(ground_truth: MedicalImage, output: MedicalImage,
+                          thickness_threshold: int = 6) -> Dict[str, float]:
+    """Small/large lesion volume accounting of the reference stride sweep
+    (batch_evaluate_stride.py:55-86): gt buckets are unfiltered; output CCs
+    first pass the bbox extent filter, like its centroid accounting."""
+    gt_small, gt_large = _bucket_volumes(ground_truth)
+    out_small, out_large = _bucket_volumes(
+        output, extent_filter=True, thickness_threshold=thickness_threshold)
+    return {"gt_vol_small": gt_small, "gt_vol_large": gt_large,
+            "label_vol_small": out_small, "label_vol_large": out_large}
+
+
 @dataclass
 class GridResult:
     checkpoint: str
@@ -125,6 +171,8 @@ class BatchEvaluate:
             result.update(overlap_measures(gt, out))
         if "ITEM" in self.modes:
             result.update(lesion_detection(gt, out, self.tolerance))
+        if "VOLUME" in self.modes:
+            result.update(lesion_volume_buckets(gt, out))
         return result
 
     def run(self, csv_path: Optional[str] = None) -> List[GridResult]:
