@@ -66,6 +66,7 @@ def _run():
     # the same variants); defaults are the production configuration
     dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL", "xla")
     opt_name = os.environ.get("VNET_BENCH_OPT", "adam")  # adam | fused
+    custom_dw = os.environ.get("VNET_BENCH_CUSTOM_DW", "0") == "1"
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
@@ -73,7 +74,8 @@ def _run():
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
                  dropout_rate=0.01, activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
-                 packed_target_lanes=128, dropout_impl=dropout_impl)
+                 packed_target_lanes=128, dropout_impl=dropout_impl,
+                 custom_dw=custom_dw)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
