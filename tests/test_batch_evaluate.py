@@ -99,3 +99,8 @@ def test_grid_result_csv_and_best(eval_dir, tmp_path):
     assert "MEAN" in text and "ckpt_a" in text
     assert r1.mean("DICE") == pytest.approx(0.8)
     assert BatchEvaluate.best([r1, r2]).checkpoint == "ckpt_b"
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

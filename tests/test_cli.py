@@ -79,3 +79,8 @@ def test_main_end_to_end_train(tmp_path, rng):
         ["-p", "train", "--config_json", cpath])
     main_mod.main(args)
     assert os.path.isdir(str(tmp_path / "ckpt"))
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -36,3 +36,8 @@ def test_config_parses_and_builds(path):
 
 def test_shipped_config_count():
     assert len(CONFIGS) >= 5  # the five BASELINE scenarios + default
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

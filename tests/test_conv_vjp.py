@@ -9,6 +9,7 @@ from vnet_tpu.ops.conv_vjp import conv_custom_dw, same_pads
 
 
 @pytest.mark.parametrize("rank,k", [(2, 3), (2, 5), (3, 3), (3, 5)])
+@pytest.mark.quick
 def test_matches_lax_conv(rank, k):
     rng = np.random.default_rng(0)
     spatial = (8,) * rank
@@ -39,6 +40,7 @@ def test_matches_lax_conv(rank, k):
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.quick
 def test_asymmetric_pads_packed_shape():
     """The packed-domain mixed-tap kernel shape (3,3,5) with its
     packed_pads-style padding."""
@@ -59,6 +61,7 @@ def test_asymmetric_pads_packed_shape():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.quick
 def test_bfloat16_dtype_preserved():
     x = jnp.ones((1, 4, 4, 4, 2), jnp.bfloat16)
     w = jnp.ones((3, 3, 3, 2, 2), jnp.bfloat16)

@@ -348,3 +348,8 @@ def test_warm_cache_prefills_cc_memo(tmp_path, rng):
     assert len(ds._prefix_cache) == 2
     for sample in ds._prefix_cache.values():
         assert _label_digest(sample["label"].data >= 1) in _cc_objs_memo
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -67,3 +67,8 @@ def test_augment_batch_fused(rng):
     assert out_i.shape == imgs.shape
     oi = np.asarray(out_i)
     assert oi.min() >= -10.0 and oi.max() <= 265.0  # window + noise margin
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

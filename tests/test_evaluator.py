@@ -112,3 +112,8 @@ def test_evaluate_prob_map_masking(trained):
     cfg.evaluate.probability_output = False
     cfg.evaluate.volume_threshold = 0.0
     cfg.evaluate.mask_probability_with_label = False
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -51,3 +51,8 @@ def test_stablehlo_bytecode_export(tmp_path, small_model):
     # MLIR bytecode magic
     assert blob[:4] == b"ML\xefR" or b"stablehlo" in blob[:200]
     assert (tmp_path / "fwd.stablehlo").stat().st_size == len(blob)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -57,3 +57,8 @@ def test_log_batch_images_3d(rng):
     assert any("pred" in t for t in tags)
     # all HWC uint8-compatible shapes
     assert all(len(s) == 3 and s[-1] == 3 for _, s, _ in w.calls)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

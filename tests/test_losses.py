@@ -149,3 +149,8 @@ def test_2d_axis_handling(rng):
     onehot = np.eye(2, dtype=np.float32)[labels]
     expected = 1.0 - np_dice(sm, onehot, "sorensen", axis=(1, 2))
     assert float(loss) == pytest.approx(float(expected), rel=1e-5)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

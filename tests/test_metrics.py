@@ -53,3 +53,8 @@ def test_auc_sane(rng):
     logits = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
     m = batch_metrics(jnp.array(logits), jnp.array(lbl), 2, compute_auc=True)
     assert 0.2 < float(m["auc_1"]) < 0.8
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

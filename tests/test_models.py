@@ -39,6 +39,7 @@ def test_vnet_level_count_mismatch_raises():
         model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
 
 
+@pytest.mark.quick
 def test_vnet_channel_progression():
     """Encoder doubles channels per level (networks.py:274-280)."""
     x = jnp.ones((1, 16, 16, 16, 1), jnp.float32)
@@ -133,6 +134,7 @@ def test_dropout_is_stochastic_in_train():
     np.testing.assert_allclose(np.asarray(c), np.asarray(d))
 
 
+@pytest.mark.quick
 def test_bfloat16_compute_f32_params():
     x = jnp.ones((1, 8, 8, 8, 1), jnp.float32)
     model = VNet(num_classes=2, num_channels=4, num_levels=1,
@@ -254,6 +256,7 @@ def test_attention_remat_matches_plain():
                                                 rtol=1e-5, atol=1e-6), gp, gr)
 
 
+@pytest.mark.quick
 def test_vnet_backbone_remat_matches_plain():
     """VNet remat=True (conv blocks rematerialized): same parameter pytree,
     same outputs, same grads — a pure memory/recompute trade."""
@@ -291,6 +294,7 @@ def test_vnet_backbone_remat_matches_plain():
                                                 rtol=1e-5, atol=1e-6), gp, gr)
 
 
+@pytest.mark.quick
 def test_legacy_double_norm_topology():
     """VNetLegacy (`/root/reference/VNet.py`): every conv normalized both
     before (pre_norm_i) and after the residual add — EXCEPT the first conv
@@ -336,6 +340,7 @@ def test_legacy_double_norm_topology():
     np.testing.assert_allclose(out, out_ref, atol=2e-4)
 
 
+@pytest.mark.quick
 def test_attention_legacy_backbone():
     """--attention + --legacy_topology: the gate is built on the legacy
     double-norm backbone (reference train.py:271-279 wraps VNet.py)."""

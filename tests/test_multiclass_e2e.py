@@ -100,3 +100,8 @@ def test_multiclass_confidence_crop_training(tmp_path, rng):
         prob = read_image(str(tmp_path / "evaluate" / "case_0" /
                               f"prob_{cls}.nii.gz"))
         assert prob.GetSize() == out.GetSize()
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

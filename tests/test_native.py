@@ -9,9 +9,13 @@ import pytest
 from vnet_tpu import native
 from vnet_tpu.infer import build_patch_grid
 
-pytestmark = pytest.mark.skipif(
-    not (native.available() or native.build()),
-    reason="native library not built and toolchain unavailable")
+pytestmark = [
+    pytest.mark.skipif(
+        not (native.available() or native.build()),
+        reason="native library not built and toolchain unavailable"),
+    # part of the fast cross-subsystem smoke subset (pytest -m quick)
+    pytest.mark.quick,
+]
 
 
 def test_version():

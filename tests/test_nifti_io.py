@@ -120,3 +120,8 @@ def test_resample_like_roundtrip(rng):
     # centre voxel must survive the round trip
     assert back.data[5, 5, 5] == 1
     assert back.data[0, 0, 0] == 0
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

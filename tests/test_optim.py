@@ -76,3 +76,8 @@ def test_build_optimizer_fused_name():
     s = tx.init(params)
     u, s = tx.update({"w": jnp.ones((3,))}, s, params)
     assert u["w"].shape == (3,)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -139,3 +139,8 @@ def test_blend_accumulate_patches_2d(rng):
     for i, (sh, sw) in enumerate(starts):
         exp[sh:sh + ph, sw:sw + pw] += probs[i]
     np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -80,3 +80,8 @@ def test_bf16_dtype_preserved():
                                         0.0, 1)
     assert y.dtype == jnp.bfloat16
     assert mean.dtype == jnp.float32 and var.dtype == jnp.float32
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

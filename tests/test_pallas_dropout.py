@@ -138,3 +138,8 @@ def test_is_tpu_backend_detects_remote_plugin(monkeypatch):
 
     monkeypatch.setattr(jax, "devices", lambda: [FakeCpu()])
     assert pk.is_tpu_backend() is False
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

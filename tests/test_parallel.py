@@ -204,3 +204,8 @@ def test_multislice_mesh_hybrid_branch_with_topology():
     with pytest.raises(Exception):
         make_multislice_mesh(ici_data_parallel=8, dcn_data_parallel=1,
                              devices=devs)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

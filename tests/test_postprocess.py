@@ -41,3 +41,8 @@ def test_volume_threshold_multiclass_binarizes():
     data[1:5, 1:5, 1:5] = 2  # nonzero counts as foreground
     out = volume_threshold(MedicalImage(data), 10.0)
     assert out.data[2, 2, 2] == 1
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

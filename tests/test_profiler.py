@@ -67,3 +67,8 @@ def test_analyze_trace_summarizes_device_ops(tmp_path, capsys):
     # busy time excludes the while container and the host event: 1.0 ms
     assert "device busy time: 1.00 ms" in out
     assert "fusion" in out and "copy" in out and "hostwork" not in out
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

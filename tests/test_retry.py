@@ -113,3 +113,8 @@ def test_process_loader_clean_completion_joins_workers():
     assert len(batches) == 3
     imgs = np.concatenate([b[0] for b in batches])
     assert imgs[:, 0, 0].tolist() == [0, 1, 2, 3, 4, 5]
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -144,3 +144,8 @@ def test_partial_factors_down_up_and_splits(rng):
         packed_conv(xcat, kern, factors=factors, input_splits=(3, 2)),
         factors=factors)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

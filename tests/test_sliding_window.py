@@ -209,3 +209,8 @@ def test_pallas_blend_rejects_mesh():
         SlidingWindowInference(lambda v, p: p, (4, 4, 4), (4, 4, 4),
                                batch_size=1, num_classes=2,
                                mesh=object(), blend_impl="pallas")
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

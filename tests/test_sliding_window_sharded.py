@@ -41,3 +41,8 @@ def test_sharded_gaussian_blend(rng):
                                  gaussian_blend=True)
     acc, w = eng({}, vol)
     assert np.asarray(w).min() > 0
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

@@ -56,6 +56,7 @@ def test_sharded_norm_statistics_match(norm):
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.quick
 def test_vnet2d_sharded_forward_matches():
     ref, out = _forward_pair("batch", "direct", 0, (32, 8, 1))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
@@ -177,6 +178,7 @@ def test_spatial_train_step_packed_axis1():
     np.testing.assert_allclose(la, lb, rtol=2e-5, atol=1e-6)
 
 
+@pytest.mark.quick
 def test_spatial_train_step_rejects_bad_partition():
     import optax
 

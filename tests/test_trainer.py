@@ -102,6 +102,7 @@ def test_config_parses_typo_alias(tmp_path, rng):
     assert cfg.train.num_classes == 2
 
 
+@pytest.mark.quick
 def test_single_train_step_decreases_nothing_weird(tmp_path, rng):
     cfg = load_config(write_config(tmp_path, rng))
     trainer = Trainer(cfg, log=False)
@@ -266,6 +267,7 @@ def test_empty_test_loader_disables_inline_testing(tmp_path, rng, capsys):
     assert "disabling inline testing" in capsys.readouterr().out
 
 
+@pytest.mark.quick
 def test_train_raises_when_batch_exceeds_cases(tmp_path, rng):
     # drop_remainder + cases < BatchSize must fail loudly, not silently
     # train nothing (found by an end-to-end run that "trained" an

@@ -99,3 +99,8 @@ def test_radial_distortion_identity(rng):
     orig = s["image"][0].data.copy()
     out = build_transform(2, "RadialDistortion", {})(s)
     np.testing.assert_allclose(out["image"][0].data, orig)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

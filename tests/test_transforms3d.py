@@ -231,3 +231,8 @@ def test_random_crop_integral_fallback_matches(rng):
     # drop_ratio 0 means the accepted crop MUST contain >=200 label voxels,
     # regardless of whether the direct or integral path judged it
     assert int((out["label"].data >= 1).sum()) >= 200
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick

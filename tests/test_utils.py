@@ -140,3 +140,8 @@ def test_fit_label_crop():
     assert ci.GetSize() == (8, 8, 8)
     assert cl.data.sum() == lbl.data.sum()
     assert ci.origin == (6.0, 6.0, 6.0)
+
+
+# module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
+import pytest as _pytest_quick
+pytestmark = _pytest_quick.mark.quick
