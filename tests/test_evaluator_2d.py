@@ -107,3 +107,25 @@ def test_2d_evaluation_writes_volume(trained2d):
     src = read_image(str(tmp_path / "evaluate" / "case_0" / "image.nii"))
     assert out.GetSize() == src.GetSize()
     assert set(np.unique(out.data)) <= {0, 1}
+
+
+def test_2d_stacked_engine_matches_per_slice_fallback(trained2d):
+    """The slice-stacked single-dispatch path must produce bit-identical
+    outputs to the per-slice fallback loop (same math, one dispatch)."""
+    cfg, state, tmp_path = trained2d
+    cfg.evaluate.probability_output = True
+
+    ev = Evaluator(cfg, state=state)
+    assert ev.engine_stacked is not None
+    case_dir = str(tmp_path / "evaluate" / "case_0")
+    label_s, probs_s = ev.evaluate_case(case_dir)
+
+    ev.engine_stacked = None  # force the per-slice loop
+    label_l, probs_l = ev.evaluate_case(case_dir)
+
+    np.testing.assert_array_equal(np.asarray(label_s.data),
+                                  np.asarray(label_l.data))
+    for ps, pl in zip(probs_s, probs_l):
+        np.testing.assert_allclose(np.asarray(ps.data), np.asarray(pl.data),
+                                    rtol=1e-5, atol=1e-6)
+    cfg.evaluate.probability_output = False

@@ -214,3 +214,62 @@ def test_pallas_blend_rejects_mesh():
 # module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
 import pytest as _pytest_quick
 pytestmark = _pytest_quick.mark.quick
+
+
+def _apply2d(variables, patches):
+    v = patches[..., 0]
+    return jnp.stack([jnp.zeros_like(v), v * 0.5, -v], axis=-1)
+
+
+@pytest.mark.parametrize("gaussian_blend", [False, True])
+def test_slice_stacked_matches_per_slice(rng, gaussian_blend):
+    """slice_stacked runs the whole (Z, H, W, C) stack in one dispatch and
+    must equal looping the plain 2D engine over the slices."""
+    vol = rng.normal(size=(5, 10, 8, 1)).astype(np.float32)
+    loop = SlidingWindowInference(_apply2d, (4, 4), (3, 2), batch_size=3,
+                                  num_classes=3,
+                                  gaussian_blend=gaussian_blend)
+    stacked = SlidingWindowInference(_apply2d, (4, 4), (3, 2), batch_size=3,
+                                     num_classes=3,
+                                     gaussian_blend=gaussian_blend,
+                                     slice_stacked=True)
+    acc_s, w_s = stacked({}, vol)
+    acc_s, w_s = np.asarray(acc_s), np.asarray(w_s)
+    assert acc_s.shape == (5, 10, 8, 3) and w_s.shape == (5, 10, 8)
+    for z in range(vol.shape[0]):
+        acc_z, w_z = loop({}, vol[z])
+        # padded duplicate tail patches differ between the grids; compare
+        # the normalized blends
+        np.testing.assert_allclose(
+            acc_s[z] / w_s[z][..., None],
+            np.asarray(acc_z) / np.asarray(w_z)[..., None], rtol=1e-5,
+            atol=1e-6)
+
+
+def test_slice_stacked_sharded_matches_single():
+    from vnet_tpu.parallel import make_mesh
+    rng = np.random.default_rng(7)
+    vol = rng.normal(size=(3, 8, 8, 1)).astype(np.float32)
+    single = SlidingWindowInference(_apply2d, (4, 4), (2, 2), batch_size=2,
+                                    num_classes=3, slice_stacked=True)
+    acc_1, w_1 = single({}, vol)
+    mesh = make_mesh(8, 1)
+    sharded = SlidingWindowInference(_apply2d, (4, 4), (2, 2), batch_size=2,
+                                     num_classes=3, mesh=mesh,
+                                     slice_stacked=True)
+    acc_m, w_m = sharded({}, vol)
+    np.testing.assert_allclose(
+        np.asarray(acc_m) / np.asarray(w_m)[..., None],
+        np.asarray(acc_1) / np.asarray(w_1)[..., None], rtol=1e-4)
+
+
+def test_slice_stacked_rejects_bad_configs():
+    with pytest.raises(ValueError, match="2D patch"):
+        SlidingWindowInference(_apply2d, (4, 4, 4), (2, 2, 2), 2, 2,
+                               slice_stacked=True)
+    with pytest.raises(ValueError, match="hard_accumulate"):
+        SlidingWindowInference(_apply2d, (4, 4), (2, 2), 2, 2,
+                               slice_stacked=True, hard_accumulate=True)
+    with pytest.raises(NotImplementedError):
+        SlidingWindowInference(_apply2d, (4, 4), (2, 2), 2, 2,
+                               slice_stacked=True, blend_impl="pallas")

@@ -89,6 +89,15 @@ class Evaluator:
             self.t.num_classes, gaussian_blend=self.e.gaussian_blend,
             mesh=mesh, hard_accumulate=self.hard_mode,
             blend_impl=blend_impl)
+        # 2D: the whole slice stack rides ONE device dispatch (the
+        # per-slice loop costs a ~27 ms dispatch floor per slice through
+        # the remote-TPU tunnel); self.engine stays as the per-slice
+        # fallback for ragged transformed shapes
+        self.engine_stacked = (SlidingWindowInference(
+            apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
+            self.t.num_classes, gaussian_blend=self.e.gaussian_blend,
+            mesh=mesh, blend_impl="xla" if blend_impl == "pallas" else blend_impl,
+            slice_stacked=True) if self.t.dimension == 2 else None)
         if mesh is not None:
             # weights may come from a trainer mesh with fewer devices;
             # re-replicate them onto the evaluation mesh
@@ -175,7 +184,13 @@ class Evaluator:
     # ------------------------------------------------------------------
     def evaluate_single_2d(self, sample, transforms):
         """`model.py:979-1129`: per-z-slice 2D sliding window, results
-        pasted back into the volume."""
+        pasted back into the volume.
+
+        Host-side per-slice transforms are unchanged; the device side
+        stacks every transformed plane and runs the WHOLE slice stack as
+        one jitted patch grid (``slice_stacked`` engine) — identical math
+        to the per-slice loop, which remains as the fallback when the
+        transformed slices come out ragged."""
         images3d, label3d = sample["image"], sample["label"]
         for tfm in transforms["3D"]:
             sample = tfm(sample)
@@ -186,23 +201,36 @@ class Evaluator:
                               np.float32)
                      if self.e.probability_output else None)
 
-        for z in range(images3d[0].GetSize()[2]):
+        nz = images3d[0].GetSize()[2]
+        planes, geoms, orig_slices = [], [], []
+        for z in range(nz):
             slice_imgs = [extract_slice(im, z) for im in images3d]
             slice_lbl = extract_slice(label3d, z)
-            orig_slice = slice_imgs[0]
+            orig_slices.append(slice_imgs[0])
 
             s = {"image": slice_imgs, "label": slice_lbl}
             for tfm in transforms["2D"]:
                 s = tfm(s)
             slice_imgs = [pad_to_size(im, self.t.patch_shape, LINEAR)
                           for im in s["image"]]
-            geom = slice_imgs[0]
+            geoms.append(slice_imgs[0])
+            planes.append(_stack_channels(slice_imgs))
 
-            plane = _stack_channels(slice_imgs)
-            acc, weight = self.engine(self.variables, plane)
-            acc = np.asarray(acc)
-            weight = np.asarray(weight)
+        if (self.engine_stacked is not None
+                and all(p.shape == planes[0].shape for p in planes)):
+            # (Z, H, W, C): one dispatch for the whole volume
+            acc3, w3 = self.engine_stacked(self.variables, np.stack(planes))
+            acc3 = np.asarray(acc3)
+            w3 = np.asarray(w3)
+            per_slice = [(acc3[z], w3[z]) for z in range(nz)]
+        else:  # ragged transformed shapes: per-slice engine calls
+            per_slice = []
+            for plane in planes:
+                acc, weight = self.engine(self.variables, plane)
+                per_slice.append((np.asarray(acc), np.asarray(weight)))
 
+        for z, (acc, weight) in enumerate(per_slice):
+            geom, orig_slice = geoms[z], orig_slices[z]
             lbl_np = np.argmax(acc, axis=-1).astype(np.uint8)
             lbl = resample_like(geom.like(lbl_np), orig_slice, NEAREST)
             out_label[:, :, z] = lbl.data
