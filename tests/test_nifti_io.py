@@ -125,3 +125,28 @@ def test_resample_like_roundtrip(rng):
 # module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
 import pytest as _pytest_quick
 pytestmark = _pytest_quick.mark.quick
+
+
+def test_resample_identity_grid_fast_path():
+    """Identical target geometry returns the data unchanged (bitwise for
+    nearest; float-promoted for linear, matching the interpolating path)."""
+    from vnet_tpu.io.resample import LINEAR, NEAREST, resample_like
+
+    rng = np.random.default_rng(3)
+    img = MedicalImage(rng.integers(0, 7, size=(9, 8, 7)).astype(np.uint8),
+                       spacing=(0.7, 0.7, 2.5), origin=(1.0, -2.0, 3.0))
+    ref = MedicalImage(np.zeros((9, 8, 7), np.uint8),
+                       spacing=(0.7, 0.7, 2.5), origin=(1.0, -2.0, 3.0))
+    out_n = resample_like(img, ref, NEAREST)
+    np.testing.assert_array_equal(out_n.data, img.data)
+    assert out_n.data.dtype == np.uint8
+    out_l = resample_like(img, ref, LINEAR)
+    np.testing.assert_array_equal(out_l.data, img.data.astype(np.float32))
+    # the fast path must copy, not alias, the input buffer
+    assert not np.shares_memory(out_n.data, img.data)
+
+    # a shifted grid must still interpolate, not alias
+    ref2 = MedicalImage(np.zeros((9, 8, 7), np.uint8),
+                        spacing=(0.7, 0.7, 2.5), origin=(1.0, -2.0, 3.7))
+    out_s = resample_like(img, ref2, NEAREST)
+    assert not np.array_equal(out_s.data, img.data)

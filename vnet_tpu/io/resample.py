@@ -36,6 +36,22 @@ def resample_to_grid(
     """Resample ``image`` onto the output grid defined by the geometry args."""
     n = image.ndim
     out_size = tuple(int(s) for s in out_size)
+
+    # identity grid: no interpolation needed (common in evaluation restore
+    # when no geometric transform ran — e.g. per-slice restore in 2D eval).
+    # Exact tuple equality only; near-identical grids still resample.
+    if (out_size == image.GetSize()
+            and tuple(float(s) for s in out_spacing) == image.spacing
+            and tuple(float(o) for o in out_origin) == image.origin
+            and tuple(float(d) for d in out_direction) == image.direction):
+        src = np.asarray(image.data)
+        if _ORDER[interpolator] != 0:
+            # match the interpolating path's dtype promotion
+            src = src.astype(np.promote_types(src.dtype, np.float32),
+                             copy=False)
+        return MedicalImage(src.copy(), image.spacing, image.origin,
+                            image.direction)
+
     out = MedicalImage(np.empty(out_size, dtype=np.uint8), tuple(out_spacing),
                        tuple(out_origin), tuple(out_direction))
 
