@@ -55,18 +55,28 @@ def _run():
     from vnet_tpu.models import VNet
     from vnet_tpu.ops.losses import segmentation_loss
 
-    # env overrides exist for CPU smoke-driving only; the driver runs the
-    # production defaults
+    # production tuning: measured A/B winners land in
+    # configs/bench_tuning.json (written by the experiment queue from
+    # tmp/exp_r2b.py / tmp/exp_r2e.py results via tmp/select_winner.py);
+    # env vars override for CPU smoke-driving and per-knob A/Bs
+    tuning = {}
+    tuning_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "configs", "bench_tuning.json")
+    if os.path.exists(tuning_path):
+        with open(tuning_path) as f:
+            tuning = json.load(f)
     side = int(os.environ.get("VNET_BENCH_PATCH", 64))
     patch = (side, side, side)
-    batch = int(os.environ.get("VNET_BENCH_BATCH", 96))
-    scan_k = int(os.environ.get("VNET_BENCH_SCAN", 4))
+    batch = int(os.environ.get("VNET_BENCH_BATCH", tuning.get("batch", 96)))
+    scan_k = int(os.environ.get("VNET_BENCH_SCAN", tuning.get("scan", 4)))
     channels = int(os.environ.get("VNET_BENCH_CHANNELS", 16))
-    # A/B knobs for the round-2 non-conv levers (tmp/exp_r2b.py measures
-    # the same variants); defaults are the production configuration
-    dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL", "xla")
-    opt_name = os.environ.get("VNET_BENCH_OPT", "adam")  # adam | fused
-    custom_dw = os.environ.get("VNET_BENCH_CUSTOM_DW", "0") == "1"
+    dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL",
+                                  tuning.get("dropout_impl", "xla"))
+    opt_name = os.environ.get("VNET_BENCH_OPT",
+                              tuning.get("opt", "adam"))  # adam | fused
+    custom_dw = (os.environ.get(
+        "VNET_BENCH_CUSTOM_DW",
+        "1" if tuning.get("custom_dw", False) else "0") == "1")
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 

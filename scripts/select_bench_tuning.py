@@ -1,0 +1,88 @@
+"""Pick the fastest measured train-step variant from the round-3 A/B logs
+and land it as the bench production tuning (configs/bench_tuning.json).
+
+Variant tags (tmp/exp_r2b.py + tmp/exp_r2e.py) map to bench.py knobs:
+  base_b96_k4                      -> xla dropout, optax adam, std dW
+  pdrop_b96_k4                     -> dropout_impl=pallas
+  flatadam_b96_k4                  -> opt=fused
+  combo_pdrop_flatadam_b96_k4      -> pallas + fused
+  cdw_b96_k4                       -> custom_dw
+  cdw_flatadam_b96_k4              -> custom_dw + fused
+  cdw_all_b96_k4                   -> custom_dw + fused + pallas
+
+The winner must beat base by >1% (else base stays — a knob that does not
+reproducibly win is dead weight). nodrop/bits16 are bounds/diagnostics,
+not landable configurations.
+"""
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TAG_TO_TUNING = {
+    "base_b96_k4": {},
+    "pdrop_b96_k4": {"dropout_impl": "pallas"},
+    "flatadam_b96_k4": {"opt": "fused"},
+    "combo_pdrop_flatadam_b96_k4": {"dropout_impl": "pallas", "opt": "fused"},
+    "cdw_b96_k4": {"custom_dw": True},
+    "cdw_flatadam_b96_k4": {"custom_dw": True, "opt": "fused"},
+    "cdw_all_b96_k4": {"custom_dw": True, "opt": "fused",
+                       "dropout_impl": "pallas"},
+}
+
+
+def collect():
+    results = {}
+    for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log"):
+        path = os.path.join(REPO, log)
+        if not os.path.exists(path):
+            continue
+        for line in open(path):
+            line = line.strip()
+            if not (line.startswith("{") and "patches_per_s" in line):
+                continue
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            tag = rec.get("exp")
+            if tag in TAG_TO_TUNING:
+                # keep the best (max) measurement per tag across attempts
+                best = results.get(tag)
+                if best is None or rec["patches_per_s"] > best:
+                    results[tag] = rec["patches_per_s"]
+    return results
+
+
+def main():
+    results = collect()
+    if "base_b96_k4" not in results:
+        print("no base measurement yet; not writing tuning", flush=True)
+        return 1
+    base = results["base_b96_k4"]
+    winner_tag, winner_pps = "base_b96_k4", base
+    for tag, pps in results.items():
+        if pps > winner_pps:
+            winner_tag, winner_pps = tag, pps
+    print(json.dumps({"measured": results, "winner": winner_tag,
+                      "winner_pps": winner_pps, "base_pps": base}),
+          flush=True)
+    if winner_pps <= base * 1.01:
+        winner_tag = "base_b96_k4"
+        print("no variant beats base by >1%; keeping base", flush=True)
+    tuning = dict(TAG_TO_TUNING[winner_tag])
+    tuning["_source"] = {"winner": winner_tag,
+                         "patches_per_s": winner_pps,
+                         "base_patches_per_s": base,
+                         "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log"]}
+    out = os.path.join(REPO, "configs", "bench_tuning.json")
+    with open(out, "w") as f:
+        json.dump(tuning, f, indent=2)
+    print(f"wrote {out}: {tuning}", flush=True)
+    print("WINNER_SELECTED", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
