@@ -273,3 +273,58 @@ def test_slice_stacked_rejects_bad_configs():
     with pytest.raises(NotImplementedError):
         SlidingWindowInference(_apply2d, (4, 4), (2, 2), 2, 2,
                                slice_stacked=True, blend_impl="pallas")
+
+
+def _numpy_oracle(vol, patch, stride, window, stacked):
+    """Naive host blend for the identity-ish _apply2d/_apply3d nets."""
+    import itertools
+
+    def softmax(x):
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return e / e.sum(-1, keepdims=True)
+
+    spatial = vol.shape[1:-1] if stacked else vol.shape[:-1]
+    axes = [patch_starts_1d(spatial[i], patch[i], stride[i])
+            for i in range(len(patch))]
+    nc = 3
+    acc = np.zeros(vol.shape[:-1] + (nc,), np.float32)
+    w = np.zeros(vol.shape[:-1], np.float32)
+    zs = range(vol.shape[0]) if stacked else [None]
+    for z in zs:
+        for s in itertools.product(*axes):
+            sl = tuple(slice(s[i], s[i] + patch[i]) for i in range(len(s)))
+            if stacked:
+                sl = (z,) + sl
+            v = vol[sl + (0,)]
+            logits = np.stack([np.zeros_like(v), v * 0.5, -v], -1)
+            acc[sl] += softmax(logits) * window[..., None]
+            w[sl] += window
+    return acc, w
+
+
+@pytest.mark.quick
+def test_blend_property_random_geometries(rng):
+    """Randomized sweep: engine blend equals the numpy oracle across odd
+    volume/patch/stride/batch combinations, plain and slice-stacked, with
+    uniform and cosine windows (guards the zero-weight grid padding)."""
+    for trial in range(8):
+        stacked = bool(trial % 2)
+        patch = tuple(int(rng.integers(3, 6)) for _ in range(2))
+        stride = tuple(int(rng.integers(1, p + 1)) for p in patch)
+        spatial = tuple(int(rng.integers(p, p + 7)) for p in patch)
+        nz = int(rng.integers(2, 5))
+        shape = ((nz,) + spatial + (1,)) if stacked else (spatial + (1,))
+        vol = rng.normal(size=shape).astype(np.float32)
+        batch = int(rng.integers(1, 6))
+        gaussian = bool(rng.integers(0, 2))
+        eng = SlidingWindowInference(_apply2d, patch, stride, batch,
+                                     num_classes=3, gaussian_blend=gaussian,
+                                     slice_stacked=stacked)
+        acc, w = eng({}, vol)
+        window = (cosine_window(patch) if gaussian
+                  else np.ones(patch, np.float32))
+        acc_ref, w_ref = _numpy_oracle(vol, patch, stride, window, stacked)
+        np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-5,
+                                   err_msg=f"trial {trial}")
+        np.testing.assert_allclose(np.asarray(acc), acc_ref, rtol=1e-4,
+                                   atol=1e-6, err_msg=f"trial {trial}")
