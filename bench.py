@@ -57,8 +57,9 @@ def _run():
 
     # production tuning: measured A/B winners land in
     # configs/bench_tuning.json (written by the experiment queue from
-    # tmp/exp_r2b.py / tmp/exp_r2e.py results via tmp/select_winner.py);
-    # env vars override for CPU smoke-driving and per-knob A/Bs
+    # tmp/exp_r2b.py / tmp/exp_r2e.py results via
+    # scripts/select_bench_tuning.py); env vars override for CPU
+    # smoke-driving and per-knob A/Bs
     tuning = {}
     tuning_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "configs", "bench_tuning.json")

@@ -65,12 +65,13 @@ def main():
     for tag, pps in results.items():
         if pps > winner_pps:
             winner_tag, winner_pps = tag, pps
+    if winner_pps <= base * 1.01 and winner_tag != "base_b96_k4":
+        print(f"fastest variant {winner_tag} ({winner_pps}) does not beat "
+              f"base ({base}) by >1%; keeping base", flush=True)
+        winner_tag, winner_pps = "base_b96_k4", base
     print(json.dumps({"measured": results, "winner": winner_tag,
                       "winner_pps": winner_pps, "base_pps": base}),
           flush=True)
-    if winner_pps <= base * 1.01:
-        winner_tag = "base_b96_k4"
-        print("no variant beats base by >1%; keeping base", flush=True)
     tuning = dict(TAG_TO_TUNING[winner_tag])
     tuning["_source"] = {"winner": winner_tag,
                          "patches_per_s": winner_pps,

@@ -328,3 +328,28 @@ def test_blend_property_random_geometries(rng):
                                    err_msg=f"trial {trial}")
         np.testing.assert_allclose(np.asarray(acc), acc_ref, rtol=1e-4,
                                    atol=1e-6, err_msg=f"trial {trial}")
+
+
+@pytest.mark.quick
+def test_slice_stacked_z_bucketing_shares_compile(rng):
+    """Volumes differing only in slice count reuse ONE compiled program
+    (Z padded to the bucket with zero slices + flag-0 grid rows), and
+    results still equal the per-slice oracle."""
+    eng = SlidingWindowInference(_apply2d, (4, 4), (2, 2), batch_size=2,
+                                 num_classes=3, slice_stacked=True,
+                                 z_bucket=8)
+    window = np.ones((4, 4), np.float32)
+    for nz in (3, 5, 8):
+        vol = rng.normal(size=(nz, 6, 6, 1)).astype(np.float32)
+        acc, w = eng({}, vol)
+        acc, w = np.asarray(acc), np.asarray(w)
+        assert acc.shape == (nz, 6, 6, 3) and w.shape == (nz, 6, 6)
+        acc_ref, w_ref = _numpy_oracle(vol, (4, 4), (2, 2), window, True)
+        np.testing.assert_allclose(w, w_ref, rtol=1e-5)
+        np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-6)
+    assert len(eng._compiled) == 1, eng._compiled.keys()
+    # a second bucket compiles once more
+    vol = rng.normal(size=(9, 6, 6, 1)).astype(np.float32)
+    acc, w = eng({}, vol)
+    assert np.asarray(acc).shape == (9, 6, 6, 3)
+    assert len(eng._compiled) == 2

@@ -216,7 +216,7 @@ class Evaluator:
             geoms.append(slice_imgs[0])
             planes.append(_stack_channels(slice_imgs))
 
-        if (self.engine_stacked is not None
+        if (self.engine_stacked is not None and planes
                 and all(p.shape == planes[0].shape for p in planes)):
             # (Z, H, W, C): one dispatch for the whole volume
             acc3, w3 = self.engine_stacked(self.variables, np.stack(planes))

@@ -87,7 +87,8 @@ class SlidingWindowInference:
                  stride: Sequence[int], batch_size: int, num_classes: int,
                  gaussian_blend: bool = False, mesh=None,
                  mesh_axis: str = "data", hard_accumulate: bool = False,
-                 blend_impl: str = "xla", slice_stacked: bool = False):
+                 blend_impl: str = "xla", slice_stacked: bool = False,
+                 z_bucket: int = 8):
         self.apply_fn = apply_fn
         self.patch_shape = tuple(int(p) for p in patch_shape)
         self.stride = tuple(int(s) for s in stride)
@@ -107,6 +108,14 @@ class SlidingWindowInference:
         if self.slice_stacked and hard_accumulate:
             raise ValueError("slice_stacked excludes hard_accumulate "
                              "(the legacy averaging mode is 3D-only)")
+        # Z-bucketing: pad the slice stack (with zero slices and flag-0
+        # grid rows) to a multiple of z_bucket so volumes differing only
+        # in slice count share one compiled program — otherwise every
+        # distinct Z forces a fresh XLA compile, which through the remote
+        # tunnel costs minutes against the ~27 ms/slice dispatch savings.
+        # Waste is bounded: <= z_bucket-1 slices of forward compute, all
+        # flag-0 (zero blend weight, exact results).
+        self.z_bucket = max(int(z_bucket), 1)
         self.blend_window = (cosine_window(self.patch_shape)
                              if gaussian_blend else
                              np.ones(self.patch_shape, np.float32))
@@ -290,21 +299,36 @@ class SlidingWindowInference:
                     f"{self.patch_shape}; pad first")
 
         starts = build_patch_grid(spatial, self.patch_shape, self.stride)
+        nz_real = None
+        grid_floor = 0
         if self.slice_stacked:
-            # cross the per-slice (H, W) grid with every z: rows (z, y, x)
-            nz = vol_shape[0]
-            zs = np.repeat(np.arange(nz, dtype=np.int32), starts.shape[0])
+            # cross the per-slice (H, W) grid with every REAL z: rows
+            # (z, y, x); the stack itself is zero-padded to the z bucket so
+            # different slice counts reuse one compiled program
+            nz_real = vol_shape[0]
+            zb = self.z_bucket
+            nz_pad = ((nz_real + zb - 1) // zb) * zb
+            if nz_pad != nz_real:
+                volume = np.concatenate(
+                    [np.asarray(volume),
+                     np.zeros((nz_pad - nz_real,) + vol_shape[1:],
+                              np.asarray(volume).dtype)])
+                vol_shape = tuple(volume.shape)
+            m = starts.shape[0]
+            zs = np.repeat(np.arange(nz_real, dtype=np.int32), m)
             starts = np.concatenate(
-                [zs[:, None], np.tile(starts, (nz, 1))], axis=-1)
+                [zs[:, None], np.tile(starts, (nz_real, 1))], axis=-1)
+            grid_floor = nz_pad * m  # row count at the bucketed Z
         n = starts.shape[0]
         # pad the grid so it splits evenly into batches (and, when sharded,
-        # into per-device grids); padded rows carry validity flag 0 and
-        # contribute zero blend weight, so results are exactly the real
-        # grid's at any batch size / device count
+        # into per-device grids) — and, when slice-stacked, up to the
+        # bucketed row count so num_batches is bucket-stable; padded rows
+        # carry validity flag 0 and contribute zero blend weight, so
+        # results are exactly the real grid's
         ndev = (self.mesh.shape[self.mesh_axis]
                 if self.mesh is not None else 1)
         quantum = self.batch_size * ndev
-        total = ((n + quantum - 1) // quantum) * quantum
+        total = ((max(n, grid_floor) + quantum - 1) // quantum) * quantum
         num_batches = total // quantum  # per-device batch count
         pad = total - n
         if pad:
@@ -320,5 +344,8 @@ class SlidingWindowInference:
         # site on the tunneled TPU — retryable, host array stays alive
         from ..utils.retry import retry_transient
         dev_volume = retry_transient(jnp.asarray, volume)
-        return self._compiled[key](variables, dev_volume,
-                                   jnp.asarray(starts))
+        acc, weight = self._compiled[key](variables, dev_volume,
+                                          jnp.asarray(starts))
+        if nz_real is not None and vol_shape[0] != nz_real:
+            acc, weight = acc[:nz_real], weight[:nz_real]
+        return acc, weight

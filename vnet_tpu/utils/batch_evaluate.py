@@ -47,6 +47,13 @@ def overlap_measures(ground_truth: MedicalImage, output: MedicalImage) -> Dict[s
     return {"DICE": dice, "Jaccard": jaccard}
 
 
+def _passes_extent_filter(slices, thickness_threshold: int) -> bool:
+    """Output-CC bbox extent filter (batch_evaluate.py:69-77): reject CCs
+    thinner than ``thickness_threshold`` in z or < 2 voxels in x/y."""
+    ext = [s.stop - s.start for s in slices]
+    return not (ext[2] < thickness_threshold or ext[0] < 2 or ext[1] < 2)
+
+
 def _component_centroids(image: MedicalImage, extent_filter: bool = False,
                          thickness_threshold: int = 6) -> List[Tuple[float, ...]]:
     """Physical-space centroids of connected components; optional bbox
@@ -55,11 +62,9 @@ def _component_centroids(image: MedicalImage, extent_filter: bool = False,
     centroids = []
     objects = ndimage.find_objects(cc)
     for i in range(n):
-        sl = objects[i]
-        if extent_filter:
-            ext = [s.stop - s.start for s in sl]
-            if ext[2] < thickness_threshold or ext[0] < 2 or ext[1] < 2:
-                continue
+        if extent_filter and not _passes_extent_filter(objects[i],
+                                                       thickness_threshold):
+            continue
         com = ndimage.center_of_mass(cc == (i + 1))
         centroids.append(image.TransformIndexToPhysicalPoint(
             tuple(float(c) for c in com)))
@@ -104,10 +109,9 @@ def _bucket_volumes(image: MedicalImage, extent_filter: bool = False,
     objects = ndimage.find_objects(cc)
     small = large = 0.0
     for i in range(n):
-        if extent_filter:
-            ext = [s.stop - s.start for s in objects[i]]
-            if ext[2] < thickness_threshold or ext[0] < 2 or ext[1] < 2:
-                continue  # batch_evaluate_stride.py:76-80
+        if extent_filter and not _passes_extent_filter(objects[i],
+                                                       thickness_threshold):
+            continue  # batch_evaluate_stride.py:76-80
         size = counts[i + 1] * voxel_vol
         if size < _MIN_LESION_VOLUME:
             continue
