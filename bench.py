@@ -98,10 +98,22 @@ def _run():
     else:
         tx = optax.adam(schedule)
 
+    def device_put_chunked(arr, max_bytes=64 << 20):
+        # the tunnel rejects single requests >~128 MB (HTTP 413 at b128);
+        # stage host data in <=64 MB transfers and concat on-device —
+        # setup path only, never inside the timed loop
+        row = arr[0:1].nbytes
+        per = max(1, int(max_bytes // row))
+        if per >= arr.shape[0]:
+            return jax.device_put(arr)
+        return jnp.concatenate([jax.device_put(arr[i:i + per])
+                                for i in range(0, arr.shape[0], per)], axis=0)
+
     host = np.random.default_rng(0)
-    images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
-    labels = jnp.asarray(host.integers(0, num_classes,
-                                       size=(batch, *patch)).astype(np.int32))
+    images = device_put_chunked(
+        host.normal(size=(batch, *patch, 1)).astype(np.float32))
+    labels = device_put_chunked(
+        host.integers(0, num_classes, size=(batch, *patch)).astype(np.int32))
 
     def train_step(carry, step_rng):
         params, batch_stats, opt_state = carry

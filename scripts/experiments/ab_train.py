@@ -1,8 +1,8 @@
 """TPU A/B matrix for the production training step (round-3 queue).
 
-Measures the flagship V-Net train step (64^3 patches, b96 k4 scan,
-bf16, adaptive lanes-128 packing — same harness as bench.py) under each
-perf-lever combination and appends one JSON line per variant to --log:
+Measures the flagship V-Net train step (64^3 patches, bf16, adaptive
+lanes-128 packing — same harness as bench.py) under each perf-lever /
+tuning combination and appends one JSON line per variant to --log:
 
     {"exp": TAG, "patches_per_s": N, "step_ms": N, "compile_s": N, ...}
 
@@ -11,15 +11,31 @@ selector can land the winner in configs/bench_tuning.json unattended.
 ``nodrop_b96_k4`` is a diagnostic upper bound (dropout off), not a
 landable configuration.
 
-Run ON the TPU (one process claims the backend once; remote compiles
-are server-side cached):
+Isolation: each tag runs in its OWN child process. Round-3 pass 1 showed
+that after two variants in one process the third dies with
+RESOURCE_EXHAUSTED (server-side HBM held by the previous executables'
+donated buffers/fragmentation) — flatadam failed after base+nodrop in
+tmp/stage_r2b.log while the identical knob ran fine as cdw_flatadam in a
+fresher process. A fresh process per tag pays one backend claim each but
+compiles are server-side cached.
+
+Idempotent: tags already recorded in --log are skipped, so the outer
+retry loop (scripts/experiments/master_loop.sh) can re-run the same
+command after a partial failure and only the missing variants run.
+
+Large batches: the tunnel rejects single requests >~128 MB (HTTP 413 —
+observed at b128: one f32 image tensor is 134 MB). Host data is staged
+in <=64 MB device_put chunks and concatenated on-device, so b112/b128
+variants can be measured at all.
+
+Run ON the TPU (the parent never claims the backend; children do):
 
     nohup python scripts/experiments/ab_train.py --log tmp/exp_r2b.log \
         base_b96_k4 nodrop_b96_k4 pdrop_b96_k4 flatadam_b96_k4 \
         combo_pdrop_flatadam_b96_k4 &
 
-Exit code 42 = backend init hung/failed (outer retry loop should wait
-and relaunch; see scripts/experiments/master_loop.sh).
+Exit code 42 = backend init hung/failed in a child (outer retry loop
+should wait and relaunch; see master_loop.sh).
 """
 
 from __future__ import annotations
@@ -27,6 +43,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 from functools import partial
@@ -36,16 +53,31 @@ sys.path.insert(0, REPO)
 
 PROBE_FAILED_RC = 42
 
+_BASE = dict(rate=0.01, impl="xla", opt="adam", cdw=False, batch=96, scan=4)
+
+
+def _v(**kw):
+    d = dict(_BASE)
+    d.update(kw)
+    return d
+
+
 VARIANTS = {
-    # tag -> (dropout_rate, dropout_impl, opt, custom_dw)
-    "base_b96_k4": (0.01, "xla", "adam", False),
-    "nodrop_b96_k4": (0.0, "xla", "adam", False),
-    "pdrop_b96_k4": (0.01, "pallas", "adam", False),
-    "flatadam_b96_k4": (0.01, "xla", "fused", False),
-    "combo_pdrop_flatadam_b96_k4": (0.01, "pallas", "fused", False),
-    "cdw_b96_k4": (0.01, "xla", "adam", True),
-    "cdw_flatadam_b96_k4": (0.01, "xla", "fused", True),
-    "cdw_all_b96_k4": (0.01, "pallas", "fused", True),
+    "base_b96_k4": _v(),
+    "nodrop_b96_k4": _v(rate=0.0),
+    "pdrop_b96_k4": _v(impl="pallas"),
+    "flatadam_b96_k4": _v(opt="fused"),
+    "combo_pdrop_flatadam_b96_k4": _v(impl="pallas", opt="fused"),
+    "cdw_b96_k4": _v(cdw=True),
+    "cdw_flatadam_b96_k4": _v(cdw=True, opt="fused"),
+    "cdw_all_b96_k4": _v(cdw=True, opt="fused", impl="pallas"),
+    # round-3 additions: dispatch-amortization and batch-size probes
+    "base_b96_k8": _v(scan=8),
+    "base_b96_k16": _v(scan=16),
+    "base_b112_k4": _v(batch=112),
+    "base_b128_k4": _v(batch=128),
+    # CPU end-to-end smoke of the harness itself (not landable)
+    "smoke_b2_k1": _v(batch=2, scan=1),
 }
 
 
@@ -69,7 +101,26 @@ def _bounded_device_probe(timeout_s: float):
     return None if t.is_alive() else result[0]
 
 
-def measure(tag: str, batch: int, scan_k: int, side: int, reps: int):
+def _device_put_chunked(arr, max_bytes=64 << 20):
+    """Stage a host array on-device in <=max_bytes transfers.
+
+    The tunnel's per-request size limit (HTTP 413, ~128 MB) rejects a
+    single 134 MB b128 image transfer; chunking is a pure setup-path
+    workaround and does not touch the timed loop.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    row = arr[0:1].nbytes
+    per = max(1, int(max_bytes // row))
+    if per >= arr.shape[0]:
+        return jax.device_put(arr)
+    chunks = [jax.device_put(arr[i:i + per])
+              for i in range(0, arr.shape[0], per)]
+    return jnp.concatenate(chunks, axis=0)
+
+
+def measure(tag: str, side: int, reps: int, trace_dir: str | None = None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,32 +129,34 @@ def measure(tag: str, batch: int, scan_k: int, side: int, reps: int):
     from vnet_tpu.models import VNet
     from vnet_tpu.ops.losses import segmentation_loss
 
-    dropout_rate, dropout_impl, opt_name, custom_dw = VARIANTS[tag]
+    v = VARIANTS[tag]
+    batch, scan_k = v["batch"], v["scan"]
     patch = (side, side, side)
     num_classes = 3
     weights = (0.01, 0.1, 1.0)
 
     model = VNet(num_classes=num_classes, num_channels=16, num_levels=4,
                  num_convolutions=(1, 2, 3, 3), bottom_convolutions=3,
-                 dropout_rate=dropout_rate, activation="prelu", norm="batch",
+                 dropout_rate=v["rate"], activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
-                 packed_target_lanes=128, dropout_impl=dropout_impl,
-                 custom_dw=custom_dw)
+                 packed_target_lanes=128, dropout_impl=v["impl"],
+                 custom_dw=v["cdw"])
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)
     variables = model.init({"params": rng, "dropout": rng}, x, train=True)
     schedule = optax.exponential_decay(1e-2, 100, 0.99)
-    if opt_name == "fused":
+    if v["opt"] == "fused":
         from vnet_tpu.train.optim import fused_adam
         tx = fused_adam(schedule)
     else:
         tx = optax.adam(schedule)
 
     host = np.random.default_rng(0)
-    images = jnp.asarray(host.normal(size=(batch, *patch, 1)).astype(np.float32))
-    labels = jnp.asarray(host.integers(0, num_classes,
-                                       size=(batch, *patch)).astype(np.int32))
+    images = _device_put_chunked(
+        host.normal(size=(batch, *patch, 1)).astype(np.float32))
+    labels = _device_put_chunked(
+        host.integers(0, num_classes, size=(batch, *patch)).astype(np.int32))
 
     def train_step(carry, step_rng):
         params, batch_stats, opt_state = carry
@@ -135,6 +188,8 @@ def measure(tag: str, batch: int, scan_k: int, side: int, reps: int):
     float(loss)  # compile + full sync (scalar fetch is the only honest sync)
     compile_s = time.perf_counter() - t0
 
+    if trace_dir:
+        jax.profiler.start_trace(trace_dir)
     times = []
     for i in range(reps):
         t0 = time.perf_counter()
@@ -142,6 +197,8 @@ def measure(tag: str, batch: int, scan_k: int, side: int, reps: int):
             carry, jax.random.split(jax.random.fold_in(key, i), scan_k))
         float(loss)
         times.append(time.perf_counter() - t0)
+    if trace_dir:
+        jax.profiler.stop_trace()
     times.sort()
     dt = times[len(times) // 2]
     return {
@@ -154,17 +211,23 @@ def measure(tag: str, batch: int, scan_k: int, side: int, reps: int):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("tags", nargs="+", choices=sorted(VARIANTS))
-    ap.add_argument("--log", required=True)
-    ap.add_argument("--batch", type=int, default=96)
-    ap.add_argument("--scan", type=int, default=4)
-    ap.add_argument("--side", type=int, default=64)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--probe-timeout", type=float, default=120.0)
-    args = ap.parse_args()
+def _logged_tags(log_path: str):
+    tags = set()
+    if not os.path.exists(log_path):
+        return tags
+    for line in open(log_path):
+        line = line.strip()
+        if not (line.startswith("{") and "patches_per_s" in line):
+            continue
+        try:
+            tags.add(json.loads(line).get("exp"))
+        except ValueError:
+            continue
+    return tags
 
+
+def _run_inproc(args):
+    """Child mode: claim the backend, measure ONE tag, append to --log."""
     # sitecustomize points jax at the tunneled TPU via config.update at
     # interpreter start; for CPU smoke runs the env var alone does not win.
     plat = os.environ.get("JAX_PLATFORMS")
@@ -179,31 +242,73 @@ def main():
               file=sys.stderr, flush=True)
         return PROBE_FAILED_RC
 
+    tag = args.tags[0]
+    rec = None
+    for attempt in range(2):
+        try:
+            rec = measure(tag, args.side, args.reps)
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            print(f"{tag} attempt {attempt + 1} failed "
+                  f"({type(e).__name__}: {str(e)[:300]})",
+                  file=sys.stderr, flush=True)
+            if attempt == 0:
+                time.sleep(30)
+                continue
+            return 1
+        break
+    line = json.dumps(rec)
+    print(line, flush=True)
     os.makedirs(os.path.dirname(os.path.abspath(args.log)), exist_ok=True)
+    with open(args.log, "a") as f:
+        f.write(line + "\n")
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("tags", nargs="+", choices=sorted(VARIANTS))
+    ap.add_argument("--log", required=True)
+    ap.add_argument("--side", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--probe-timeout", type=float, default=120.0)
+    ap.add_argument("--child-timeout", type=float, default=2700.0)
+    ap.add_argument("--inproc", action="store_true",
+                    help="child mode: measure exactly one tag in-process")
+    args = ap.parse_args()
+
+    if args.inproc:
+        if len(args.tags) != 1:
+            ap.error("--inproc takes exactly one tag")
+        return _run_inproc(args)
+
+    done = _logged_tags(args.log)
+    todo = [t for t in args.tags if t not in done]
+    for t in args.tags:
+        if t in done:
+            print(f"{t}: already in {args.log}; skipping", flush=True)
+    if not todo:
+        print("all requested tags already measured", flush=True)
+        return 0
+
     failures = 0
-    for tag in args.tags:
-        for attempt in range(3):
-            try:
-                rec = measure(tag, args.batch, args.scan, args.side, args.reps)
-            except KeyboardInterrupt:
-                raise
-            except Exception as e:
-                print(f"{tag} attempt {attempt + 1} failed "
-                      f"({type(e).__name__}: {str(e)[:300]})",
-                      file=sys.stderr, flush=True)
-                if attempt == 2:
-                    failures += 1
-                    rec = None
-                else:
-                    time.sleep(30)
-                    continue
-            break
-        if rec is None:
-            continue
-        line = json.dumps(rec)
-        print(line, flush=True)
-        with open(args.log, "a") as f:
-            f.write(line + "\n")
+    for tag in todo:
+        cmd = [sys.executable, os.path.abspath(__file__), tag,
+               "--log", args.log, "--side", str(args.side),
+               "--reps", str(args.reps),
+               "--probe-timeout", str(args.probe_timeout), "--inproc"]
+        try:
+            rc = subprocess.run(cmd, timeout=args.child_timeout).returncode
+        except subprocess.TimeoutExpired:
+            print(f"{tag}: child exceeded {args.child_timeout:.0f} s; killed",
+                  file=sys.stderr, flush=True)
+            rc = 1
+        if rc == PROBE_FAILED_RC:
+            # tunnel down — no point trying the remaining tags now
+            return PROBE_FAILED_RC
+        if rc != 0:
+            failures += 1
     return 1 if failures else 0
 
 

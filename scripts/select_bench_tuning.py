@@ -29,12 +29,17 @@ TAG_TO_TUNING = {
     "cdw_flatadam_b96_k4": {"custom_dw": True, "opt": "fused"},
     "cdw_all_b96_k4": {"custom_dw": True, "opt": "fused",
                        "dropout_impl": "pallas"},
+    # round-3 tuning probes (scripts/experiments/ab_train.py additions)
+    "base_b96_k8": {"scan": 8},
+    "base_b96_k16": {"scan": 16},
+    "base_b112_k4": {"batch": 112},
+    "base_b128_k4": {"batch": 128},
 }
 
 
 def collect():
     results = {}
-    for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log"):
+    for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log", "tmp/exp_r3tune.log"):
         path = os.path.join(REPO, log)
         if not os.path.exists(path):
             continue
@@ -76,7 +81,8 @@ def main():
     tuning["_source"] = {"winner": winner_tag,
                          "patches_per_s": winner_pps,
                          "base_patches_per_s": base,
-                         "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log"]}
+                         "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log",
+                                  "tmp/exp_r3tune.log"]}
     out = os.path.join(REPO, "configs", "bench_tuning.json")
     with open(out, "w") as f:
         json.dump(tuning, f, indent=2)
