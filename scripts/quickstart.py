@@ -41,16 +41,23 @@ def build_dataset(workdir: str, shape, n_train: int, n_eval: int):
     make_hard_dataset(workdir, "evaluate", n_eval, rng, shape=shape)
 
 
-def write_config(workdir: str, patch, steps: int, small: bool) -> str:
+def write_config(workdir: str, patch, steps: int, small: bool,
+                 drop_ratio: float = 0.2, min_pixel: int = 8,
+                 lr: float = 1e-3) -> str:
     import yaml
 
     pipeline = {"preprocess": {
         "train": {"3D": [
             {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
             {"name": "Padding", "variables": {"output_size": list(patch)}},
+            # drop_ratio = probability of REJECTING a crop with fewer than
+            # min_pixel foreground voxels (reference NiftiDataset3D.py
+            # RandomCrop); at <=1% foreground, raising it biases sampling
+            # toward patches the rare classes actually appear in
             {"name": "RandomCrop",
-             "variables": {"output_size": list(patch), "drop_ratio": 0.2,
-                           "min_pixel": 8}},
+             "variables": {"output_size": list(patch),
+                           "drop_ratio": drop_ratio,
+                           "min_pixel": min_pixel}},
         ]},
         "test": {"3D": [
             {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
@@ -88,11 +95,15 @@ def write_config(workdir: str, patch, steps: int, small: bool) -> str:
             "LogDir": os.path.join(workdir, "log"),
             "CheckpointDir": os.path.join(workdir, "ckpt"),
             "LogInterval": max(10, steps // 4),
+            # epochs here are ~3 steps; per-epoch orbax saves through the
+            # tunnel cost 3-20 s each and dominated the 600-step quality
+            # run's wall-clock — thin them (final state still saved)
+            "CheckpointEveryNEpochs": 20,
             "Precision": "float32" if small else "bfloat16",
             "CacheCases": 32,
             "Networks": net,
             "Loss": {"Name": "weighted_sorensen", "Weights": [0.01, 0.3, 1.0]},
-            "Optimizer": {"Name": "Adam", "InitialLearningRate": 1e-3,
+            "Optimizer": {"Name": "Adam", "InitialLearningRate": lr,
                           "Decay": {"Factor": 0.99, "Steps": 100}},
             "Pipeline": ppath,
         },
@@ -120,6 +131,13 @@ def main(argv=None):
                     help="'cpu' forces the CPU backend (demo mode)")
     ap.add_argument("--small", action="store_true", default=None,
                     help="tiny network/patches (default when --devices cpu)")
+    ap.add_argument("--drop-ratio", type=float, default=0.2,
+                    help="RandomCrop rejection probability for low-"
+                         "foreground patches (raise toward 1.0 to bias "
+                         "sampling onto the rare classes)")
+    ap.add_argument("--min-pixel", type=int, default=8,
+                    help="foreground-voxel threshold for --drop-ratio")
+    ap.add_argument("--lr", type=float, default=1e-3)
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -141,7 +159,9 @@ def main(argv=None):
         print(f"generating synthetic dataset under {workdir} ...", flush=True)
         build_dataset(workdir, shape, n_train=8 if small else 24,
                       n_eval=2 if small else 4)
-    cpath = write_config(workdir, patch, args.steps, small)
+    cpath = write_config(workdir, patch, args.steps, small,
+                         drop_ratio=args.drop_ratio,
+                         min_pixel=args.min_pixel, lr=args.lr)
     print(f"config written: {cpath}", flush=True)
 
     from vnet_tpu.config import load_config

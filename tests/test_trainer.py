@@ -143,6 +143,22 @@ def test_full_train_loop_and_resume(tmp_path, rng):
     assert int(state2.step) == 3
 
 
+def test_ckpt_every_n_epochs_thins_epoch_saves(tmp_path, rng):
+    """CheckpointEveryNEpochs=2 saves at epochs 2 and 4 only (1 step per
+    epoch here; LogInterval is set high so step-interval saves don't
+    confound). Default 1 keeps the reference's save-every-epoch parity."""
+    cfg = load_config(write_config(
+        tmp_path, rng, max_iterations=10,
+        **{"Epoches": 4, "LogInterval": 100, "CheckpointEveryNEpochs": 2}))
+    assert cfg.train.ckpt_every_n_epochs == 2
+    trainer = Trainer(cfg, log=False)
+    state = trainer.train()
+    assert int(state.epoch) == 4
+    saved = sorted(int(d) for d in os.listdir(str(tmp_path / "ckpt"))
+                   if d.isdigit())
+    assert saved == [2, 4]
+
+
 def test_loss_decreases_over_steps(tmp_path, rng):
     """Learnable toy task: loss after 15 steps < first loss."""
     cfg = load_config(write_config(tmp_path, rng))

@@ -104,6 +104,12 @@ class TrainingConfig:
     epochs: int = 999999999
     max_iterations: int = 15000
     log_interval: int = 50
+    # checkpoint at every Nth epoch end (plus the LogInterval-step and
+    # end-of-training saves, which are unaffected). Default 1 = the
+    # reference's save-every-epoch semantics (model.py:806-808); raise it
+    # when epochs are short and checkpoint I/O dominates wall-clock (e.g.
+    # orbax saves through this environment's slow tunnel).
+    ckpt_every_n_epochs: int = 1
     image_log: bool = False
     # per-class AUC TensorBoard stream (`/root/reference/model.py:608-626`);
     # off by default — the 200-threshold estimator is a measurable cost
@@ -246,6 +252,7 @@ def parse_config(tree: dict) -> Config:
         epochs=int(ts.get("Epoches", 999999999)),
         max_iterations=int(ts.get("MaxIterations", 15000)),
         log_interval=int(ts.get("LogInterval", 50)),
+        ckpt_every_n_epochs=int(ts.get("CheckpointEveryNEpochs", 1)),
         image_log=bool(ts.get("ImageLog", False)),
         compute_auc=bool(ts.get("ComputeAUC", False)),
         testing=bool(ts.get("Testing", False)),

@@ -608,5 +608,11 @@ class Trainer:
                 print(f"Epoch {epoch + 1}: loss {epoch_loss / count:.4f} "
                       f"({count} steps, {dt:.1f}s)")
             state = state.replace(epoch=state.epoch + 1)
-            mgr.save(state)  # epoch-end checkpoint (model.py:806-808)
+            # epoch-end checkpoint (model.py:806-808); CheckpointEveryNEpochs
+            # thins these when epochs are short and save I/O dominates
+            # wall-clock (observed: 3-20 s orbax waits per 3-step epoch
+            # through the remote tunnel)
+            n_ck = max(1, t.ckpt_every_n_epochs)
+            if (epoch + 1) % n_ck == 0 or epoch + 1 == t.epochs:
+                mgr.save(state)  # the final epoch always persists
         return state
