@@ -121,25 +121,29 @@ def measure(side: int, batch: int, remat: bool, reps: int):
     }
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--log", required=True)
-    ap.add_argument("--reps", type=int, default=5)
-    ap.add_argument("--probe-timeout", type=float, default=120.0)
-    ap.add_argument("--only", nargs="*", default=None,
-                    help="subset of config tags to run")
-    ap.add_argument("--smoke", action="store_true",
-                    help="tiny config (16^3 b1, with and without remat) "
-                         "for CPU plumbing verification")
-    args = ap.parse_args()
-    configs = ([("attn_smoke", 16, 1, False), ("attn_smoke_remat", 16, 1, True)]
-               if args.smoke else CONFIGS)
+def _configs(smoke: bool):
+    return ([("attn_smoke", 16, 1, False), ("attn_smoke_remat", 16, 1, True)]
+            if smoke else CONFIGS)
 
-    plat = os.environ.get("JAX_PLATFORMS")
-    if plat:
-        import jax
-        jax.config.update("jax_platforms", plat)
 
+def _logged_tags(log_path):
+    """Tags already recorded (success OR error) — both are terminal: a
+    config that crashed the compile helper will crash again."""
+    tags = set()
+    if not os.path.exists(log_path):
+        return tags
+    for line in open(log_path):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            tags.add(json.loads(line).get("exp"))
+        except ValueError:
+            continue
+    return tags
+
+
+def _probe(timeout_s):
     import threading
     result = [0]
 
@@ -153,31 +157,89 @@ def main():
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(args.probe_timeout)
-    if t.is_alive() or not result[0]:
+    t.join(timeout_s)
+    return 0 if t.is_alive() else result[0]
+
+
+def _run_inproc(args):
+    """Child mode: measure exactly ONE config, append success or error."""
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    if not _probe(args.probe_timeout):
         return PROBE_FAILED_RC
 
+    by_tag = {c[0]: c for c in _configs(args.smoke)}
+    tag, side, batch, remat = by_tag[args.only[0]]
+    try:
+        rec = {"exp": tag, **measure(side, batch, remat, args.reps)}
+        ok = True
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:
+        rec = {"exp": tag, "error": f"{type(e).__name__}: {str(e)[:300]}",
+               "batch": batch, "side": side, "remat": remat}
+        ok = False
+    line = json.dumps(rec)
+    print(line, flush=True)
     os.makedirs(os.path.dirname(os.path.abspath(args.log)), exist_ok=True)
-    measured = 0
-    for tag, side, batch, remat in configs:
+    with open(args.log, "a") as f:
+        f.write(line + "\n")
+    return 0 if ok else 3  # 3 = error RECORDED (terminal, don't retry)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", required=True)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--probe-timeout", type=float, default=120.0)
+    ap.add_argument("--child-timeout", type=float, default=2700.0)
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="subset of config tags to run")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny config (16^3 b1, with and without remat) "
+                         "for CPU plumbing verification")
+    ap.add_argument("--inproc", action="store_true",
+                    help="child mode: measure exactly one --only tag")
+    args = ap.parse_args()
+
+    if args.inproc:
+        if not args.only or len(args.only) != 1:
+            ap.error("--inproc requires exactly one --only tag")
+        return _run_inproc(args)
+
+    # each config runs in its OWN child process: compile-helper crashes and
+    # server-side HBM held by prior executables must not poison the rest
+    import subprocess
+    done = _logged_tags(args.log)
+    for tag, *_ in _configs(args.smoke):
         if args.only and tag not in args.only:
             continue
+        if tag in done:
+            print(f"{tag}: already in {args.log}; skipping", flush=True)
+            continue
+        cmd = [sys.executable, os.path.abspath(__file__), "--log", args.log,
+               "--reps", str(args.reps),
+               "--probe-timeout", str(args.probe_timeout),
+               "--only", tag, "--inproc"]
+        if args.smoke:
+            cmd.append("--smoke")
         try:
-            rec = measure(side, batch, remat, args.reps)
-            rec = {"exp": tag, **rec}
-        except KeyboardInterrupt:
-            raise
-        except Exception as e:
-            rec = {"exp": tag, "error": f"{type(e).__name__}: {str(e)[:300]}",
-                   "batch": batch, "side": side, "remat": remat}
-        else:
-            measured += 1
-        line = json.dumps(rec)
-        print(line, flush=True)
-        with open(args.log, "a") as f:
-            f.write(line + "\n")
-    # success = at least one ambitious config measured (the known-crashing
-    # configs are recorded as negative results, not failures of this stage)
+            rc = subprocess.run(cmd, timeout=args.child_timeout).returncode
+        except subprocess.TimeoutExpired:
+            print(f"{tag}: child exceeded {args.child_timeout:.0f} s; killed",
+                  file=sys.stderr, flush=True)
+            continue
+        if rc == PROBE_FAILED_RC:
+            return PROBE_FAILED_RC  # tunnel down — retry the stage later
+    # success = at least one config measured across all runs (the
+    # known-crashing configs are negative results, not stage failures)
+    measured = 0
+    if os.path.exists(args.log):
+        for line in open(args.log):
+            if line.strip().startswith("{") and "patches_per_s" in line:
+                measured += 1
     return 0 if measured else 1
 
 
