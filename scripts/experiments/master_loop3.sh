@@ -17,6 +17,8 @@ mkdir -p tmp
 RETRY_SLEEP=${RETRY_SLEEP:-180}
 STAGE_TIMEOUT=${STAGE_TIMEOUT:-10800}
 QUALITY_STEPS=${QUALITY_STEPS:-3000}
+MAX_TRIES=${MAX_TRIES:-2}
+tries_p2=0
 
 # wait for the second queue (master_loop2.sh) to release the TPU
 while kill -0 "$(cat tmp/master_loop2.pid 2>/dev/null)" 2>/dev/null; do
@@ -43,6 +45,24 @@ run_stage() {  # run_stage <name> <cmd...>
 for iter in $(seq 1 20); do
     echo "--- queue3 pass $iter $(date -u) ---"
 
+    # Pallas blend at 512^3 with the lane-fold fix (the pre-fold kernel
+    # compiled to a 32x-padded 68 GB accumulator memref and the remote
+    # compile helper rejected it — tmp/stage_inf32_pallas.log). A Mosaic
+    # rejection is deterministic: force-done after MAX_TRIES so the rest
+    # of the queue still runs (the log records the negative result).
+    if [ ! -f tmp/done3_inf32_pallas2 ]; then
+        run_stage inf32_pallas2 python scripts/benchmark_eval.py --stride 32 \
+            --batch 128 --reps 3 --blend-impl pallas
+        rc=$?
+        if [ $rc -ne 0 ] && [ $rc -ne 42 ]; then
+            tries_p2=$((tries_p2 + 1))
+            if [ "$tries_p2" -ge "$MAX_TRIES" ]; then
+                echo "inf32_pallas2: $tries_p2 failed tries; recording negative"
+                touch tmp/done3_inf32_pallas2
+            fi
+        fi
+    fi
+
     # Restore=True resumes from tmp/quality2/ckpt if a pass died mid-run
     run_stage quality2 python scripts/quickstart.py \
         --steps "$QUALITY_STEPS" --workdir tmp/quality2 \
@@ -52,7 +72,7 @@ for iter in $(seq 1 20); do
     fi
 
     need=0
-    for s in quality2 bench3; do
+    for s in inf32_pallas2 quality2 bench3; do
         [ -f "tmp/done3_$s" ] || need=1
     done
     if [ $need -eq 0 ]; then

@@ -105,6 +105,8 @@ def test_bn_grad_stats_kernel():
 
 
 def test_blend_accumulate_patches_matches_numpy(rng):
+    """Rank-generic kernel: the channel axis is just another sliced axis
+    (start 0, full extent)."""
     from vnet_tpu.ops.pallas import blend_accumulate_patches
     D, H, W, C = 12, 10, 8, 3
     pd, ph, pw = 6, 4, 4
@@ -113,9 +115,10 @@ def test_blend_accumulate_patches_matches_numpy(rng):
     probs = rng.random((n, pd, ph, pw, C)).astype(np.float32)
     starts = np.array([[0, 0, 0], [6, 6, 4], [2, 3, 1], [2, 3, 1]],
                       np.int32)  # unaligned + duplicated (padded-tail) starts
+    starts4 = np.concatenate([starts, np.zeros((n, 1), np.int32)], axis=1)
 
     got = blend_accumulate_patches(
-        jnp.asarray(acc), jnp.asarray(probs), jnp.asarray(starts),
+        jnp.asarray(acc), jnp.asarray(probs), jnp.asarray(starts4),
         slab_bytes=ph * pw * C * 4 * 2,  # force multi-slab path
         interpret=True)
 
@@ -124,6 +127,17 @@ def test_blend_accumulate_patches_matches_numpy(rng):
         exp[sd:sd + pd, sh:sh + ph, sw:sw + pw] += probs[i]
     np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5)
 
+    # the production fold (sliding_window.py): channels folded into the
+    # minor spatial axis, starts scaled by C — identical result
+    got_f = blend_accumulate_patches(
+        jnp.asarray(acc).reshape(D, H, W * C),
+        jnp.asarray(probs).reshape(n, pd, ph, pw * C),
+        jnp.asarray(np.concatenate(
+            [starts[:, :2], starts[:, 2:] * C], axis=1)),
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got_f).reshape(D, H, W, C), exp,
+                               rtol=1e-5)
+
 
 def test_blend_accumulate_patches_2d(rng):
     from vnet_tpu.ops.pallas import blend_accumulate_patches
@@ -131,12 +145,12 @@ def test_blend_accumulate_patches_2d(rng):
     ph, pw = 8, 6
     acc = np.zeros((H, W, C), np.float32)
     probs = rng.random((3, ph, pw, C)).astype(np.float32)
-    starts = np.array([[0, 0], [8, 6], [5, 3]], np.int32)
+    starts = np.array([[0, 0, 0], [8, 6, 0], [5, 3, 0]], np.int32)
 
     got = blend_accumulate_patches(jnp.asarray(acc), jnp.asarray(probs),
                                    jnp.asarray(starts), interpret=True)
     exp = acc.copy()
-    for i, (sh, sw) in enumerate(starts):
+    for i, (sh, sw, _) in enumerate(starts):
         exp[sh:sh + ph, sw:sw + pw] += probs[i]
     np.testing.assert_allclose(np.asarray(got), exp, rtol=1e-5)
 

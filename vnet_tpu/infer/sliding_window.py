@@ -186,8 +186,16 @@ class SlidingWindowInference:
 
             def run_pallas(variables, volume, starts):
                 # blend weight rides as channel 0 so non-uniform windows
-                # accumulate exactly alongside the softmax channels
-                acc = jnp.zeros(vol_shape[:-1] + (1 + acc_channels,),
+                # accumulate exactly alongside the softmax channels. The
+                # channel axis is FOLDED into the last spatial axis before
+                # the kernel: Mosaic lane-pads the minor dim to 128, and a
+                # C=4 minor dim would compile to a 32x-padded accumulator
+                # (68 GB at 512^3 — the remote compile helper rejects it).
+                # Folded, the minor dim is W*C (lane-aligned) and patch
+                # regions stay contiguous.
+                Cc = 1 + acc_channels
+                vol_spatial = vol_shape[:-1]
+                acc = jnp.zeros(vol_spatial[:-1] + (vol_spatial[-1] * Cc,),
                                 jnp.float32)
 
                 def body(b, acc):
@@ -209,11 +217,16 @@ class SlidingWindowInference:
                     # grid-padding rows contribute nothing
                     flags = batch_starts[:, idx_width].astype(jnp.float32)
                     contrib = contrib * flags.reshape((B,) + (1,) * (rank + 1))
+                    contrib = contrib.reshape(
+                        (B,) + patch[:-1] + (patch[-1] * Cc,))
+                    starts_f = jnp.concatenate(
+                        [batch_starts[:, :rank - 1],
+                         batch_starts[:, rank - 1:rank] * Cc], axis=1)
                     return blend_accumulate_patches(
-                        acc, contrib, batch_starts[:, :idx_width],
-                        interpret=interpret)
+                        acc, contrib, starts_f, interpret=interpret)
 
                 acc = jax.lax.fori_loop(0, num_batches, body, acc)
+                acc = acc.reshape(vol_spatial + (Cc,))
                 return acc[..., 1:], acc[..., 0]
 
             return jax.jit(run_pallas)

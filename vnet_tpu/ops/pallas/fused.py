@@ -228,40 +228,50 @@ def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
     and one DMA pushes it back. TPU grid iterations run sequentially per
     core, so overlapping patches are race-free; ``input_output_aliases``
     updates the accumulator in place, avoiding XLA's copy-on-write
-    ``dynamic_update_slice`` chains. Callers carry the blend-weight plane
-    as an extra channel of ``acc``/``probs`` so weight accumulation rides
-    the same DMA (exact for non-uniform windows).
+    ``dynamic_update_slice`` chains.
+
+    The kernel is rank-generic and has NO channel concept: every axis of
+    ``acc`` is sliced by a per-patch start. Mosaic lane-pads the MINOR
+    axis to 128, so a channel-last accumulator with C=4 would compile to
+    a 32x-padded memref (observed: 512^3 x4 -> a 512^3 x128 f32 memref,
+    68 GB, HTTP 500 from the remote compile helper). Callers must
+    therefore FOLD a small trailing channel axis into the last spatial
+    axis — ``acc.reshape(D, H, W*C)``, starts scaled by C — which keeps
+    patch regions contiguous and the minor dim lane-aligned (the
+    sliding-window caller carries the blend-weight plane as one of those
+    folded channels so weight accumulation rides the same DMA).
 
     Args:
-      acc: ``(*vol_spatial, C)`` float32 — donated/aliased in place.
-      probs: ``(B, *patch_spatial, C)`` float32 — window pre-applied.
-      starts: ``(B, rank)`` int32 patch start corners (any alignment,
-        incl. the clamped last starts of `model.py:881-893`).
-      slab_bytes: VMEM budget per slab; the patch's leading axis is
+      acc: rank-N float32 volume — donated/aliased in place.
+      probs: ``(B, *block)`` float32 contributions, ``len(block) == N``,
+        window pre-applied.
+      starts: ``(B, N)`` int32 block start corners (any alignment, incl.
+        the clamped last starts of `model.py:881-893`; on real TPU the
+        minor-axis offsets are ``stride*C`` multiples after the fold).
+      slab_bytes: VMEM budget per slab; the block's leading axis is
         split into equal slabs no larger than this.
     Returns the updated ``acc``.
     """
     b = probs.shape[0]
-    patch = probs.shape[1:-1]
-    c = probs.shape[-1]
-    rank = len(patch)
-    assert starts.shape == (b, rank), (starts.shape, b, rank)
-    assert acc.shape[-1] == c and len(acc.shape) == rank + 1
+    block = probs.shape[1:]
+    n = len(block)
+    assert starts.shape == (b, n), (starts.shape, b, n)
+    assert acc.ndim == n, (acc.shape, block)
 
-    # split the patch's leading axis into slabs within the VMEM budget
-    tail = int(np.prod(patch[1:])) * c * 4
-    slab = max(1, min(patch[0], slab_bytes // max(tail, 1)))
-    while patch[0] % slab:
+    # split the block's leading axis into slabs within the VMEM budget
+    tail = int(np.prod(block[1:])) * 4
+    slab = max(1, min(block[0], slab_bytes // max(tail, 1)))
+    while block[0] % slab:
         slab -= 1
-    n_slabs = patch[0] // slab
-    slab_shape = (slab,) + tuple(patch[1:]) + (c,)
+    n_slabs = block[0] // slab
+    slab_shape = (slab,) + tuple(block[1:])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, n_slabs),
         in_specs=[
             pl.BlockSpec((1,) + slab_shape,
-                         lambda i, s, starts: (i, s) + (0,) * rank,
+                         lambda i, s, starts: (i, s) + (0,) * (n - 1),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -277,9 +287,9 @@ def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
         i = pl.program_id(0)
         s = pl.program_id(1)
         idx = (pl.ds(starts_ref[i, 0] + s * slab, slab),)
-        for d in range(1, rank):
-            idx += (pl.ds(starts_ref[i, d], patch[d]),)
-        region = acc_out.at[idx + (slice(None),)]
+        for d in range(1, n):
+            idx += (pl.ds(starts_ref[i, d], block[d]),)
+        region = acc_out.at[idx]
 
         cp_in = pltpu.make_async_copy(region, scratch, sem)
         cp_in.start()
