@@ -48,10 +48,20 @@ def _apply(x, seed, rate: float, interpret: bool):
     # threshold on the raw uint32 stream: exact to 2^-32
     thr = min(int(round(keep * 4294967296.0)), 4294967295)
     orig_shape = x.shape
-    c = x.shape[-1]
-    rows = int(np.prod(x.shape[:-1]))
-    x2 = x.reshape(rows, c)
-    tile = min(rows, 2048)
+    # Mosaic lane-pads the minor dim to 128: flattening channel-last
+    # (C=16) would allocate 8x the tensor (observed: RESOURCE_EXHAUSTED
+    # at the production b96 config, tmp/stage_r2b.log). Dropout is
+    # elementwise, so flatten to ANY lane-aligned 2D shape instead.
+    n = x.size
+    for minor in (2048, 1024, 512, 256, 128):
+        if n % minor == 0:
+            x2 = x.reshape(n // minor, minor)
+            break
+    else:
+        x2 = x.reshape(int(np.prod(x.shape[:-1])), x.shape[-1])
+    rows, c = x2.shape
+    # ~1M elements per block: in + out + uint32 bits fit VMEM comfortably
+    tile = max(1, min(rows, (1 << 20) // c))
     while rows % tile:
         tile -= 1
     grid = (rows // tile,)
