@@ -98,16 +98,9 @@ def _run():
     else:
         tx = optax.adam(schedule)
 
-    def device_put_chunked(arr, max_bytes=64 << 20):
-        # the tunnel rejects single requests >~128 MB (HTTP 413 at b128);
-        # stage host data in <=64 MB transfers and concat on-device —
-        # setup path only, never inside the timed loop
-        row = arr[0:1].nbytes
-        per = max(1, int(max_bytes // row))
-        if per >= arr.shape[0]:
-            return jax.device_put(arr)
-        return jnp.concatenate([jax.device_put(arr[i:i + per])
-                                for i in range(0, arr.shape[0], per)], axis=0)
+    # the tunnel rejects single requests >~128 MB (HTTP 413 at b128);
+    # stage host data in <=64 MB transfers — setup path only
+    from vnet_tpu.utils.staging import device_put_chunked
 
     host = np.random.default_rng(0)
     images = device_put_chunked(

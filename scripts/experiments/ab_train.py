@@ -102,22 +102,10 @@ def _bounded_device_probe(timeout_s: float):
 
 
 def _device_put_chunked(arr, max_bytes=64 << 20):
-    """Stage a host array on-device in <=max_bytes transfers.
-
-    The tunnel's per-request size limit (HTTP 413, ~128 MB) rejects a
-    single 134 MB b128 image transfer; chunking is a pure setup-path
-    workaround and does not touch the timed loop.
-    """
-    import jax
-    import jax.numpy as jnp
-
-    row = arr[0:1].nbytes
-    per = max(1, int(max_bytes // row))
-    if per >= arr.shape[0]:
-        return jax.device_put(arr)
-    chunks = [jax.device_put(arr[i:i + per])
-              for i in range(0, arr.shape[0], per)]
-    return jnp.concatenate(chunks, axis=0)
+    """Stage a host array on-device in <=max_bytes transfers (the tunnel
+    rejects single requests >~128 MB — vnet_tpu/utils/staging.py)."""
+    from vnet_tpu.utils.staging import device_put_chunked
+    return device_put_chunked(arr, max_bytes)
 
 
 def measure(tag: str, side: int, reps: int, trace_dir: str | None = None):
@@ -253,7 +241,9 @@ def _run_inproc(args):
             print(f"{tag} attempt {attempt + 1} failed "
                   f"({type(e).__name__}: {str(e)[:300]})",
                   file=sys.stderr, flush=True)
-            if attempt == 0:
+            # OOM poisons the process (server-side HBM stays held) — only
+            # transient errors are worth a same-process retry
+            if attempt == 0 and "RESOURCE_EXHAUSTED" not in str(e):
                 time.sleep(30)
                 continue
             return 1
@@ -293,6 +283,7 @@ def main():
         return 0
 
     failures = 0
+    timeouts = 0
     for tag in todo:
         cmd = [sys.executable, os.path.abspath(__file__), tag,
                "--log", args.log, "--side", str(args.side),
@@ -301,15 +292,22 @@ def main():
         try:
             rc = subprocess.run(cmd, timeout=args.child_timeout).returncode
         except subprocess.TimeoutExpired:
+            # a mid-run hang is the tunnel dropping AFTER the init probe —
+            # transient, not a property of the variant
             print(f"{tag}: child exceeded {args.child_timeout:.0f} s; killed",
                   file=sys.stderr, flush=True)
-            rc = 1
+            timeouts += 1
+            continue
         if rc == PROBE_FAILED_RC:
             # tunnel down — no point trying the remaining tags now
             return PROBE_FAILED_RC
         if rc != 0:
             failures += 1
-    return 1 if failures else 0
+    if failures:
+        return 1
+    # all hard work succeeded or was skipped; report timeouts as the
+    # transient rc so outer loops sleep-and-retry instead of burning a try
+    return PROBE_FAILED_RC if timeouts else 0
 
 
 if __name__ == "__main__":

@@ -63,10 +63,12 @@ for iter in $(seq 1 20); do
         fi
     fi
 
-    # Restore=True resumes from tmp/quality2/ckpt if a pass died mid-run
+    # Restore=True resumes from tmp/quality2/ckpt if a pass died mid-run.
+    # drop_ratio is the probability of ACCEPTING an empty crop (reference
+    # RandomCrop semantics): 0.05 + min_pixel 64 = strong foreground bias.
     run_stage quality2 python scripts/quickstart.py \
         --steps "$QUALITY_STEPS" --workdir tmp/quality2 \
-        --drop-ratio 0.85 --min-pixel 64
+        --drop-ratio 0.05 --min-pixel 64
     if [ -f tmp/done3_quality2 ]; then
         run_stage bench3 python bench.py
     fi

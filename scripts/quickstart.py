@@ -50,10 +50,11 @@ def write_config(workdir: str, patch, steps: int, small: bool,
         "train": {"3D": [
             {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
             {"name": "Padding", "variables": {"output_size": list(patch)}},
-            # drop_ratio = probability of REJECTING a crop with fewer than
+            # drop_ratio = probability of ACCEPTING a crop with fewer than
             # min_pixel foreground voxels (reference NiftiDataset3D.py
-            # RandomCrop); at <=1% foreground, raising it biases sampling
-            # toward patches the rare classes actually appear in
+            # RandomCrop semantics); at <=1% foreground, LOWERING it (with
+            # a meaningful min_pixel) biases sampling toward patches the
+            # rare classes actually appear in
             {"name": "RandomCrop",
              "variables": {"output_size": list(patch),
                            "drop_ratio": drop_ratio,
@@ -132,9 +133,9 @@ def main(argv=None):
     ap.add_argument("--small", action="store_true", default=None,
                     help="tiny network/patches (default when --devices cpu)")
     ap.add_argument("--drop-ratio", type=float, default=0.2,
-                    help="RandomCrop rejection probability for low-"
-                         "foreground patches (raise toward 1.0 to bias "
-                         "sampling onto the rare classes)")
+                    help="RandomCrop probability of ACCEPTING a crop with "
+                         "fewer than --min-pixel foreground voxels (lower "
+                         "toward 0 to bias sampling onto the rare classes)")
     ap.add_argument("--min-pixel", type=int, default=8,
                     help="foreground-voxel threshold for --drop-ratio")
     ap.add_argument("--lr", type=float, default=1e-3)

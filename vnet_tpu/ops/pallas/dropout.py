@@ -53,12 +53,17 @@ def _apply(x, seed, rate: float, interpret: bool):
     # at the production b96 config, tmp/stage_r2b.log). Dropout is
     # elementwise, so flatten to ANY lane-aligned 2D shape instead.
     n = x.size
+    pad = 0
     for minor in (2048, 1024, 512, 256, 128):
         if n % minor == 0:
             x2 = x.reshape(n // minor, minor)
             break
     else:
-        x2 = x.reshape(int(np.prod(x.shape[:-1])), x.shape[-1])
+        # odd sizes: pad flat to a lane multiple (a channel-last fallback
+        # would reintroduce the padded-minor-dim blowup); the pad region
+        # draws extra bits, which is harmless, and is sliced off below
+        pad = (-n) % 1024
+        x2 = jnp.pad(x.reshape(-1), (0, pad)).reshape((n + pad) // 1024, 1024)
     rows, c = x2.shape
     # ~1M elements per block: in + out + uint32 bits fit VMEM comfortably
     tile = max(1, min(rows, (1 << 20) // c))
@@ -85,6 +90,8 @@ def _apply(x, seed, rate: float, interpret: bool):
         # distribution itself is asserted on real TPU (BENCHMARKS.md).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(seed_arr, x2)
+    if pad:
+        out = out.reshape(-1)[:n]
     return out.reshape(orig_shape)
 
 
