@@ -76,6 +76,9 @@ VARIANTS = {
     "base_b96_k16": _v(scan=16),
     "base_b112_k4": _v(batch=112),
     "base_b128_k4": _v(batch=128),
+    # uint8 rng mask (4x less dropout-mask HBM traffic, no fusion barrier)
+    "drop8_b96_k4": _v(impl="bits8"),
+    "drop8_b96_k16": _v(impl="bits8", scan=16),
     # CPU end-to-end smoke of the harness itself (not landable)
     "smoke_b2_k1": _v(batch=2, scan=1),
 }

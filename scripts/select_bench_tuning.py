@@ -34,6 +34,8 @@ TAG_TO_TUNING = {
     "base_b96_k16": {"scan": 16},
     "base_b112_k4": {"batch": 112},
     "base_b128_k4": {"batch": 128},
+    "drop8_b96_k4": {"dropout_impl": "bits8"},
+    "drop8_b96_k16": {"dropout_impl": "bits8", "scan": 16},
 }
 
 

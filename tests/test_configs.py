@@ -10,7 +10,10 @@ from vnet_tpu.config import load_config
 from vnet_tpu.models import build_network
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CONFIGS = sorted(glob.glob(os.path.join(ROOT, "configs", "*.json")))
+# bench_tuning.json is bench.py's measured-winner knob file (written by
+# scripts/select_bench_tuning.py), not a training config
+CONFIGS = sorted(p for p in glob.glob(os.path.join(ROOT, "configs", "*.json"))
+                 if os.path.basename(p) != "bench_tuning.json")
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=[os.path.basename(p) for p in CONFIGS])

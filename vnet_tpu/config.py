@@ -58,7 +58,7 @@ class NetworkConfig:
     # width — the measured optimum, BENCHMARKS.md exp11). 0 = legacy full
     # packing. Exact rewrite either way; checkpoints interchange.
     packed_target_lanes: int = 128
-    dropout_impl: str = "xla"  # "xla" | "pallas" (models/layers.py Dropout)
+    dropout_impl: str = "xla"  # "xla" | "bits8" | "pallas" (layers.Dropout)
     # rematerialize conv blocks (VNet) and the attention/output heads
     # (AttentionVNet): trades recompute for live-activation memory in
     # the backward pass; identical math and parameter pytree

@@ -658,11 +658,20 @@ class Dropout(nn.Module):
 
     * ``impl="xla"`` — flax ``nn.Dropout`` (rng-bit-generator writes a
       full random tensor to HBM; the select fusion reads it back).
+    * ``impl="bits8"`` — same XLA lowering shape as ``"xla"`` (an
+      ``rng_bit_generator`` fusion writes the mask to HBM, the select
+      fusion reads it back) but the mask tensor is ``uint8`` instead of
+      the ``uint32`` the float-uniform path materializes: 4x less HBM
+      traffic on both sides of the dropout. Keep probability is
+      quantized to ``round((1-rate)*256)/256`` (exact to 2^-8) and the
+      survivor scale uses the quantized value, so E[out] == x exactly.
     * ``impl="pallas"`` — fused kernel with in-VMEM PRNG
       (`vnet_tpu/ops/pallas/dropout.py`): the mask never touches HBM and
       the backward regenerates it from the seed instead of materializing
       a pred tensor. Same keep probability (exact to 2^-32), different
-      random stream than flax's threefry/rbg.
+      random stream than flax's threefry/rbg. Measured STRONGLY NEGATIVE
+      at b96 (BENCHMARKS.md round-3 A/B) — each pallas_call is a fusion
+      barrier; kept as a tested knob, not the default.
 
     On a non-TPU backend ``impl="pallas"`` falls back to the XLA path
     (with a one-time warning): the TPU-flavoured Pallas interpreter stubs
@@ -675,12 +684,22 @@ class Dropout(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = False):
-        if self.impl not in ("xla", "pallas"):
+        if self.impl not in ("xla", "bits8", "pallas"):
             raise ValueError(
-                f"Unknown dropout impl {self.impl!r}; expected 'xla' or "
-                "'pallas'")
+                f"Unknown dropout impl {self.impl!r}; expected 'xla', "
+                "'bits8' or 'pallas'")
         if deterministic or self.rate == 0.0:
             return x
+        if self.impl == "bits8":
+            key = self.make_rng("dropout")
+            # keep iff u8 < t: P = t/256, t = round(keep*256) clamped to
+            # [1, 255] so neither branch degenerates for rate in (0, 1).
+            t = int(round((1.0 - float(self.rate)) * 256.0))
+            t = min(max(t, 1), 255)
+            u = jax.random.bits(key, x.shape, jnp.uint8)
+            scale = jnp.asarray(256.0 / t, x.dtype)
+            return jnp.where(u < jnp.uint8(t), x * scale,
+                             jnp.zeros_like(x))
         if self.impl == "pallas":
             from ..ops.pallas import is_tpu_backend
             if is_tpu_backend():
