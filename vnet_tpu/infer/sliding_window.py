@@ -149,7 +149,8 @@ class SlidingWindowInference:
         self._compiled = {}
 
     # ------------------------------------------------------------------
-    def _make_jitted(self, vol_shape: Tuple[int, ...], num_batches: int):
+    def _make_jitted(self, vol_shape: Tuple[int, ...], num_batches: int,
+                     start_multiples: Tuple[int, ...] = ()):
         patch = self.patch_shape
         B = self.batch_size
         C = vol_shape[-1]
@@ -222,8 +223,15 @@ class SlidingWindowInference:
                     starts_f = jnp.concatenate(
                         [batch_starts[:, :rank - 1],
                          batch_starts[:, rank - 1:rank] * Cc], axis=1)
+                    # static divisibility of the (folded) start grid —
+                    # starts are prefetch scalars inside the kernel, so
+                    # Mosaic needs this hint to prove the dynamic DMA
+                    # slice is tile-aligned (sublane 8 / lane 128)
+                    mults = start_multiples[:rank - 1] + (
+                        start_multiples[rank - 1] * Cc,)
                     return blend_accumulate_patches(
-                        acc, contrib, starts_f, interpret=interpret)
+                        acc, contrib, starts_f, start_multiples=mults,
+                        interpret=interpret)
 
                 acc = jax.lax.fori_loop(0, num_batches, body, acc)
                 acc = acc.reshape(vol_spatial + (Cc,))
@@ -346,13 +354,22 @@ class SlidingWindowInference:
         pad = total - n
         if pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad, 0)])
+        start_multiples: Tuple[int, ...] = ()
+        if self.blend_impl == "pallas":
+            # static per-dim divisibility of the whole grid (pads repeat a
+            # real row, so they don't change the gcd); an all-zero column
+            # (single-patch axis) divides anything — use a huge power of 2
+            start_multiples = tuple(
+                int(np.gcd.reduce(starts[:, d])) or (1 << 20)
+                for d in range(self.rank))
         flags = np.ones((total, 1), np.int32)
         flags[n:] = 0
         starts = np.concatenate([starts, flags], axis=-1)
 
-        key = (vol_shape, num_batches)
+        key = (vol_shape, num_batches, start_multiples)
         if key not in self._compiled:
-            self._compiled[key] = self._make_jitted(vol_shape, num_batches)
+            self._compiled[key] = self._make_jitted(vol_shape, num_batches,
+                                                    start_multiples)
         # whole-volume H2D transfers are the documented transient-failure
         # site on the tunneled TPU — retryable, host array stays alive
         from ..utils.retry import retry_transient

@@ -25,6 +25,7 @@ work without element-granular BlockSpecs.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Tuple
 
@@ -217,7 +218,7 @@ def bn_grad_stats(dy, x, mean, invstd, *, tile_rows: int = 0,
 
 
 def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
-                             interpret: bool = False):
+                             start_multiples=None, interpret: bool = False):
     """Scatter-add pre-windowed patch contributions into a volume
     accumulator, in place — the sliding-window blend of
     `vnet_tpu/infer/sliding_window.py` (reference semantics
@@ -250,6 +251,17 @@ def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
         minor-axis offsets are ``stride*C`` multiples after the fold).
       slab_bytes: VMEM budget per slab; the block's leading axis is
         split into equal slabs no larger than this.
+      start_multiples: optional ``N`` static ints — a guaranteed divisor
+        of every start value per dim. Starts are prefetch scalars, so
+        Mosaic cannot see that e.g. a stride-32 grid keeps the sublane
+        dim 8-aligned and rejects the dynamic DMA slice ("failed to
+        prove that a tile index in dimension 1 is divisible by the
+        tiling (8)"). The sliding-window caller computes the gcd of the
+        (static) start grid per dim and passes it here; the kernel
+        attaches it via ``pl.multiple_of``. On real TPU the second-minor
+        dim needs multiple 8 and the minor dim 128 (f32 memref tiling) —
+        i.e. ``stride % 8 == 0`` and ``stride * C % 128 == 0`` after the
+        channel fold; otherwise Mosaic still (correctly) rejects.
     Returns the updated ``acc``.
     """
     b = probs.shape[0]
@@ -282,13 +294,20 @@ def blend_accumulate_patches(acc, probs, starts, *, slab_bytes: int = 1 << 21,
         ],
     )
 
+    mults = tuple(start_multiples) if start_multiples else (1,) * n
+    assert len(mults) == n, (mults, n)
+
+    def _hinted(value, mult):
+        return pl.multiple_of(value, mult) if mult > 1 else value
+
     def kernel(starts_ref, probs_blk, acc_in, acc_out, scratch, sem):
         del acc_in  # aliased into acc_out
         i = pl.program_id(0)
         s = pl.program_id(1)
-        idx = (pl.ds(starts_ref[i, 0] + s * slab, slab),)
+        idx = (pl.ds(_hinted(starts_ref[i, 0], math.gcd(mults[0], slab))
+                     + s * slab, slab),)
         for d in range(1, n):
-            idx += (pl.ds(starts_ref[i, d], block[d]),)
+            idx += (pl.ds(_hinted(starts_ref[i, d], mults[d]), block[d]),)
         region = acc_out.at[idx]
 
         cp_in = pltpu.make_async_copy(region, scratch, sem)
