@@ -79,6 +79,12 @@ VARIANTS = {
     # uint8 rng mask (4x less dropout-mask HBM traffic, no fusion barrier)
     "drop8_b96_k4": _v(impl="bits8"),
     "drop8_b96_k16": _v(impl="bits8", scan=16),
+    # round-4: scan frontier past the landed k16, and batch probes AT the
+    # landed scan (base_b96_k16 = 210.57 p/s is the comparator)
+    "base_b96_k24": _v(scan=24),
+    "base_b96_k32": _v(scan=32),
+    "base_b112_k16": _v(batch=112, scan=16),
+    "base_b128_k16": _v(batch=128, scan=16),
     # CPU end-to-end smoke of the harness itself (not landable)
     "smoke_b2_k1": _v(batch=2, scan=1),
 }

@@ -114,6 +114,46 @@ def test_evaluate_prob_map_masking(trained):
     cfg.evaluate.mask_probability_with_label = False
 
 
+def test_blend_impl_auto_sharded_resolves_to_xla(trained):
+    """BlendImpl 'auto' (the default) picks the XLA scatter-add whenever
+    the patch grid is sharded over >1 device (the pallas kernel is an
+    unsharded-3D-volume kernel)."""
+    cfg, state, _ = trained
+    assert cfg.evaluate.blend_impl == "auto"
+    ev = Evaluator(cfg, state=state)
+    assert ev.engine.blend_impl == "xla"
+
+
+def test_blend_impl_auto_unsharded_resolves_to_pallas(trained, monkeypatch):
+    """On a single device, 'auto' picks the pallas blend (measured 14%
+    faster at dense stride, BENCHMARKS.md) — and evaluation still produces
+    a valid label end to end (interpret mode on CPU)."""
+    import jax
+
+    cfg, state, _ = trained
+    dev0 = jax.devices()[0]
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [dev0])
+    ev = Evaluator(cfg, state=state)
+    assert ev.engine.blend_impl == "pallas"
+    results = ev.evaluate()
+    out = read_image(results[0])
+    assert set(np.unique(out.data)) <= {0, 1}
+
+
+def test_blend_impl_pallas_sharded_warns_and_falls_back(trained):
+    """An EXPLICIT BlendImpl 'pallas' on a sharded grid must not be
+    silently rewritten: a warning is raised and the XLA blend is used
+    (round-3 verdict item 3)."""
+    cfg, state, _ = trained
+    cfg.evaluate.blend_impl = "pallas"
+    try:
+        with pytest.warns(UserWarning, match="falling back"):
+            ev = Evaluator(cfg, state=state)
+        assert ev.engine.blend_impl == "xla"
+    finally:
+        cfg.evaluate.blend_impl = "auto"
+
+
 # module is part of the fast cross-subsystem smoke subset (CLAUDE.md: pytest -m quick)
 import pytest as _pytest_quick
 pytestmark = _pytest_quick.mark.quick

@@ -181,10 +181,13 @@ class EvaluationConfig:
     pipeline_path: str = ""
     # TPU-native extension: cosine-window (Gaussian-like) patch blending
     gaussian_blend: bool = False
-    # TPU-native extension: blend accumulation implementation — "xla"
-    # (dynamic_update_slice chains) or "pallas" (in-place DMA kernel,
-    # ops/pallas/fused.py::blend_accumulate_patches); identical math
-    blend_impl: str = "xla"
+    # TPU-native extension: blend accumulation implementation — "auto"
+    # picks "pallas" for unsharded 3D grids (measured 14% faster at dense
+    # stride-32 on 512^3, BENCHMARKS.md "Whole-volume inference") and
+    # "xla" otherwise; "xla" = dynamic_update_slice chains; "pallas" =
+    # in-place DMA kernel (ops/pallas/fused.py::blend_accumulate_patches).
+    # All impls are identical math (tests/test_sliding_window.py).
+    blend_impl: str = "auto"
     # "argmax" (modern, model.py:934) or "average_hard" — the legacy
     # evaluator's hard-prediction averaging, rint(sum(pred)/visits + 0.01)
     # (`/root/reference/evaluate.py:264-271`)
@@ -312,7 +315,7 @@ def parse_config(tree: dict) -> Config:
             es.get("MaskProbabilityWithLabel", False)),
         pipeline_path=es.get("Pipeline", train.pipeline_path),
         gaussian_blend=bool(es.get("GaussianBlend", False)),
-        blend_impl=str(es.get("BlendImpl", "xla")),
+        blend_impl=str(es.get("BlendImpl", "auto")),
     )
 
     if len(evaluate.stride) != len(patch_shape):

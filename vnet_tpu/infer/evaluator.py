@@ -82,8 +82,19 @@ class Evaluator:
                 "LabelMode 'average_hard' is the legacy 3D evaluator mode "
                 "(/root/reference/evaluate.py is 3D-only)")
         blend_impl = self.e.blend_impl
-        if blend_impl == "pallas" and mesh is not None:
-            blend_impl = "xla"  # sharded grids use the XLA scatter-add
+        if blend_impl == "auto":
+            # pallas measured 14% faster at dense stride (BENCHMARKS.md
+            # "Whole-volume inference"); it is an unsharded-3D-grid kernel
+            blend_impl = ("pallas"
+                          if mesh is None and self.t.dimension == 3
+                          else "xla")
+        elif blend_impl == "pallas" and mesh is not None:
+            import warnings
+            warnings.warn(
+                "BlendImpl 'pallas' is not implemented for sharded patch "
+                "grids (>1 device); falling back to the XLA scatter-add",
+                stacklevel=2)
+            blend_impl = "xla"
         self.engine = SlidingWindowInference(
             apply_fn, self.t.patch_shape, self.e.stride, self.e.batch_size,
             self.t.num_classes, gaussian_blend=self.e.gaussian_blend,

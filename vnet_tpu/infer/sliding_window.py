@@ -150,7 +150,10 @@ class SlidingWindowInference:
 
     # ------------------------------------------------------------------
     def _make_jitted(self, vol_shape: Tuple[int, ...], num_batches: int,
-                     start_multiples: Tuple[int, ...] = ()):
+                     start_multiples: Tuple[int, ...]):
+        # start_multiples is required (advisor r3): the pallas branch
+        # indexes start_multiples[rank-1], so a () default would be an
+        # advertised-but-invalid signature for blend_impl='pallas'
         patch = self.patch_shape
         B = self.batch_size
         C = vol_shape[-1]
