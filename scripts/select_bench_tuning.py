@@ -36,12 +36,18 @@ TAG_TO_TUNING = {
     "base_b128_k4": {"batch": 128},
     "drop8_b96_k4": {"dropout_impl": "bits8"},
     "drop8_b96_k16": {"dropout_impl": "bits8", "scan": 16},
+    # round-4 tuning probes: scan frontier + batch at the landed scan
+    "base_b96_k24": {"scan": 24},
+    "base_b96_k32": {"scan": 32},
+    "base_b112_k16": {"batch": 112, "scan": 16},
+    "base_b128_k16": {"batch": 128, "scan": 16},
 }
 
 
 def collect():
     results = {}
-    for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log", "tmp/exp_r3tune.log"):
+    for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log", "tmp/exp_r3tune.log",
+                "tmp/exp_r4tune.log"):
         path = os.path.join(REPO, log)
         if not os.path.exists(path):
             continue
