@@ -78,6 +78,11 @@ def main():
                                      or args.attention)
         classes = sidecar.get("SegmentationClasses", classes)
         precision = sidecar.get("Precision", precision)
+    # legacy-path BN parity: the reference's attention evaluator feeds
+    # train_phase=False (EMA eval, evaluate.py:249-251) while the plain
+    # VNet path feeds True (batch stats, evaluate.py:255)
+    if networks.get("Attention") and "Norm" not in networks:
+        networks["Norm"] = "batch"
 
     tree = {
         "TrainingSetting": {

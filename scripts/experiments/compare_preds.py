@@ -1,0 +1,40 @@
+"""Compare two prediction volumes per case (e.g. xla vs pallas blend).
+
+    python scripts/experiments/compare_preds.py tmp/quality2/evaluate \
+        pred_xla.nii.gz pred_pallas.nii.gz
+
+Prints per-case agreement; exit 1 if any case disagrees on >0.01% of
+voxels (argmax labels are integers — blend-impl equivalence should be
+near-exact; tiny disagreement only at float ties).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
+
+
+def main(argv):
+    root, name_a, name_b = argv[1], argv[2], argv[3]
+    import numpy as np
+
+    from vnet_tpu.io import read_image
+
+    worst = 0.0
+    for case in sorted(os.listdir(root)):
+        pa = os.path.join(root, case, name_a)
+        pb = os.path.join(root, case, name_b)
+        if not (os.path.isfile(pa) and os.path.isfile(pb)):
+            continue
+        a = np.asarray(read_image(pa).data)
+        b = np.asarray(read_image(pb).data)
+        frac = float((a != b).mean())
+        worst = max(worst, frac)
+        print(f"{case}: disagree {frac:.6%} of voxels", flush=True)
+    print(f"worst case disagreement: {worst:.6%}", flush=True)
+    return 0 if worst <= 1e-4 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

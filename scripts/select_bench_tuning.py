@@ -90,7 +90,7 @@ def main():
                          "patches_per_s": winner_pps,
                          "base_patches_per_s": base,
                          "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log",
-                                  "tmp/exp_r3tune.log"]}
+                                  "tmp/exp_r3tune.log", "tmp/exp_r4tune.log"]}
     out = os.path.join(REPO, "configs", "bench_tuning.json")
     with open(out, "w") as f:
         json.dump(tuning, f, indent=2)

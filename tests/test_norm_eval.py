@@ -1,0 +1,92 @@
+"""BatchNorm evaluation semantics (reference parity).
+
+The reference segments with ``train_phase=True`` — batch statistics at
+inference (`/root/reference/model.py:917`); the legacy attention evaluator
+is the exception (`evaluate.py:249-251`, EMA). Round 4 found the flax-style
+EMA eval path diverging catastrophically on a trained deep BN net
+(BENCHMARKS.md "Quality"), so ``Norm`` now defaults to "batch_stats" and
+every inference surface routes through ``models.eval_apply``.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from vnet_tpu.config import parse_config
+from vnet_tpu.models import build_network, eval_apply
+
+pytestmark = pytest.mark.quick
+
+TINY = dict(num_classes=2, num_channels=4, num_levels=2,
+            num_convolutions=(1, 1), bottom_convolutions=1,
+            dropout_rate=0.0)
+
+
+def _init(net, shape=(2, 16, 16, 16, 1)):
+    x = jnp.asarray(np.random.default_rng(0).normal(size=shape),
+                    jnp.float32)
+    variables = net.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    return variables, x
+
+
+def test_config_default_norm_is_batch_stats():
+    cfg = parse_config({
+        "TrainingSetting": {
+            "Data": {"TrainingDataDirectory": ".", "TestingDataDirectory": ".",
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "label.nii"},
+            "SegmentationClasses": [0, 1],
+            "PatchShape": [16, 16, 16],
+            "Networks": {"Name": "VNet"},
+        }})
+    assert cfg.train.network.norm == "batch_stats"
+
+
+def test_eval_apply_batch_stats_runs_without_mutable_error():
+    net = build_network("VNet", norm="batch_stats", **TINY)
+    variables, x = _init(net)
+    out = eval_apply(net, variables, x)
+    assert out.shape == (2, 16, 16, 16, 2)
+    assert np.isfinite(np.asarray(out)).all()
+    # plain apply(train=False) must raise: flax forbids the (discarded)
+    # EMA write when batch_stats is immutable — the bug this helper fixes
+    with pytest.raises(Exception):
+        net.apply(variables, x, train=False)
+
+
+def test_eval_apply_batch_stats_uses_batch_statistics():
+    """batch_stats eval == train-mode normalization (batch statistics),
+    not the stored EMA."""
+    net_bs = build_network("VNet", norm="batch_stats", **TINY)
+    variables, x = _init(net_bs)
+    out_bs = eval_apply(net_bs, variables, x)
+    # same params through the EMA path: at init the EMA is (0, 1) while
+    # the batch statistics are the input's own moments -> different output
+    net_ema = build_network("VNet", norm="batch", **TINY)
+    out_ema = eval_apply(net_ema, variables, x)
+    assert not np.allclose(np.asarray(out_bs), np.asarray(out_ema))
+    # and it matches the train-mode forward exactly (dropout_rate=0)
+    out_train, _ = net_bs.apply(variables, x, train=True,
+                                mutable=["batch_stats"],
+                                rngs={"dropout": jax.random.PRNGKey(1)})
+    np.testing.assert_allclose(np.asarray(out_bs), np.asarray(out_train),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_apply_batch_kind_matches_plain_apply():
+    net = build_network("VNet", norm="batch", **TINY)
+    variables, x = _init(net)
+    np.testing.assert_array_equal(
+        np.asarray(eval_apply(net, variables, x)),
+        np.asarray(net.apply(variables, x, train=False)))
+
+
+def test_export_forward_batch_stats():
+    from vnet_tpu.export import export_forward, load_exported
+    net = build_network("VNet", norm="batch_stats", **TINY)
+    variables, x = _init(net, shape=(1, 16, 16, 16, 1))
+    blob = export_forward(net, variables, (1, 16, 16, 16, 1))
+    probs = np.asarray(load_exported(blob)(np.asarray(x)))
+    assert probs.shape == (1, 16, 16, 16, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)

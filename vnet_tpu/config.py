@@ -9,9 +9,15 @@ instead of a bare KeyError, and 2D/3D mode is still inferred from
 ``len(PatchShape)`` (`model.py:200`) but validated.
 
 TPU-native additions (all optional, defaulted):
-``Precision`` ("float32" | "bfloat16"), ``Norm`` ("batch" | "batch_stats" |
-"group" | "instance"), ``Mesh`` (data-parallel axis size; 0 = all devices),
-``GaussianBlend`` for evaluation, ``Seed``.
+``Precision`` ("float32" | "bfloat16"), ``Norm`` ("batch_stats" |
+"batch" | "group" | "instance"), ``Mesh`` (data-parallel axis size; 0 = all
+devices), ``GaussianBlend`` for evaluation, ``Seed``. ``Norm`` defaults to
+"batch_stats" — the reference's actual BatchNorm behavior (it feeds
+``train_phase=True`` even at inference, `model.py:917`, so evaluation uses
+the statistics of the eval batch). "batch" opts into flax-style EMA eval
+instead; measured on the hard-synthetic quality benchmark, EMA eval
+diverges catastrophically on this deep BN net (BENCHMARKS.md "Quality")
+while batch-stat eval matches the reference.
 """
 
 from __future__ import annotations
@@ -52,7 +58,9 @@ class NetworkConfig:
     num_convolutions: tuple = (1, 2, 3, 3)
     bottom_convolutions: int = 3
     attention: bool = False
-    norm: str = "batch"
+    # "batch_stats" = the reference's BN semantics (batch statistics in
+    # every phase, model.py:917); see module docstring
+    norm: str = "batch_stats"
     # adaptive per-level space-to-depth packing: pack each level with the
     # fewest axes reaching this many packed channels (128 = the MXU lane
     # width — the measured optimum, BENCHMARKS.md exp11). 0 = legacy full
@@ -220,7 +228,7 @@ def _network_config(tree: dict) -> NetworkConfig:
         num_convolutions=tuple(num_conv),
         bottom_convolutions=int(net.get("BottomConvolutions", 3)),
         attention=bool(net.get("Attention", False)),
-        norm=net.get("Norm", "batch"),
+        norm=net.get("Norm", "batch_stats"),
         packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
         dropout_impl=str(net.get("DropoutImpl", "xla")),
         remat=bool(net.get("Remat", False)),

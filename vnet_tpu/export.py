@@ -30,7 +30,8 @@ def export_forward(network, variables, input_shape: Tuple[int, ...],
     """
 
     def forward(x):
-        out = network.apply(variables, x, train=False)
+        from .models import eval_apply
+        out = eval_apply(network, variables, x)
         logits = out[0] if is_attention else out
         return jax.nn.softmax(logits, axis=-1)
 
@@ -54,7 +55,8 @@ def export_stablehlo_bytecode(network, variables, input_shape: Tuple[int, ...],
     MLIR bytecode consumable by ``PJRT_Client_Compile`` (format "mlir")."""
 
     def forward(x):
-        out = network.apply(variables, x, train=False)
+        from .models import eval_apply
+        out = eval_apply(network, variables, x)
         logits = out[0] if is_attention else out
         return jax.nn.softmax(logits, axis=-1)
 
@@ -82,7 +84,8 @@ def stablehlo_text(network, variables, input_shape: Tuple[int, ...],
     """Human-readable StableHLO for inspection/debugging."""
 
     def forward(x):
-        out = network.apply(variables, x, train=False)
+        from .models import eval_apply
+        out = eval_apply(network, variables, x)
         logits = out[0] if is_attention else out
         return jax.nn.softmax(logits, axis=-1)
 

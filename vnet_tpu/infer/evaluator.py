@@ -64,7 +64,12 @@ class Evaluator:
             self.variables = self._restore_variables()
 
         def apply_fn(variables, patches):
-            out = self.network.apply(variables, patches, train=False)
+            # eval_apply: honors norm="batch_stats" (the reference segments
+            # with train_phase=True, model.py:917 — batch statistics at
+            # inference; EMA-based eval diverges catastrophically on deep
+            # BN nets, see BENCHMARKS.md "Quality")
+            from ..models import eval_apply
+            out = eval_apply(self.network, variables, patches)
             return out[0] if self.is_attention else out
 
         # with >1 device, shard the patch grid over the mesh (each device

@@ -25,6 +25,24 @@ _NETWORKS = {
 }
 
 
+def eval_apply(network, variables, x):
+    """Inference-mode ``network.apply`` honoring the norm kind.
+
+    The reference always feeds ``train_phase=True`` — even at inference
+    (`/root/reference/model.py:917`) — i.e. BatchNorm uses the statistics
+    of the evaluation batch itself. ``norm="batch_stats"`` reproduces
+    that, but flax only permits the (discarded) EMA write when the
+    ``batch_stats`` collection is mutable; every inference surface must
+    therefore route through this helper rather than calling
+    ``apply(..., train=False)`` directly.
+    """
+    if getattr(network, "norm", "batch") == "batch_stats":
+        out, _ = network.apply(variables, x, train=False,
+                               mutable=["batch_stats"])
+        return out
+    return network.apply(variables, x, train=False)
+
+
 def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   num_channels: int = 16, num_levels: int = 4,
                   num_convolutions=(1, 2, 3, 3), bottom_convolutions: int = 3,
@@ -90,5 +108,5 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
 
 __all__ = [
     "VNet", "UNet", "Dense", "AttentionGatedVNet", "AttentionModule",
-    "OutputModule", "attention_distance_loss", "build_network",
+    "OutputModule", "attention_distance_loss", "build_network", "eval_apply",
 ]

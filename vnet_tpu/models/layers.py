@@ -16,7 +16,9 @@ Parity notes:
 * BatchNorm: momentum 0.99, epsilon 0.001 (`networks.py:58` etc.). The
   reference always feeds ``train_phase=True`` — even during inference
   (`model.py:917`) — i.e. batch statistics at eval. ``norm="batch_stats"``
-  reproduces that; ``norm="batch"`` is the corrected EMA behavior;
+  reproduces that (the config default — eval through ``models.eval_apply``);
+  ``norm="batch"`` is the flax-style EMA behavior (measured: EMA eval
+  diverges catastrophically on this deep BN net, BENCHMARKS.md "Quality");
   ``norm="group"`` / ``"instance"`` are the TPU-friendly batch-size-robust
   options.
 """

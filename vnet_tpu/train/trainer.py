@@ -136,7 +136,8 @@ def make_eval_step(network, loss_cfg, num_classes: int, is_attention: bool,
 
     def step_fn(state: TrainState, images, labels):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        out = network.apply(variables, images, train=False)
+        from ..models import eval_apply
+        out = eval_apply(network, variables, images)
         logits = out[0] if is_attention else out
         loss, aux = segmentation_loss(
             logits, labels, name=loss_cfg.name, num_classes=num_classes,
@@ -426,8 +427,9 @@ class Trainer:
             return
         from .images import log_batch_images
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        out = self.network.apply(variables, jnp.asarray(images, jnp.float32),
-                                 train=False)
+        from ..models import eval_apply
+        out = eval_apply(self.network, variables,
+                         jnp.asarray(images, jnp.float32))
         logits = out[0] if self.is_attention else out
         softmax = np.asarray(jax.nn.softmax(logits, axis=-1))
         pred = np.argmax(softmax, axis=-1)
