@@ -22,6 +22,7 @@ def main(argv):
     from vnet_tpu.io import read_image
 
     worst = 0.0
+    compared = 0
     for case in sorted(os.listdir(root)):
         pa = os.path.join(root, case, name_a)
         pb = os.path.join(root, case, name_b)
@@ -31,7 +32,12 @@ def main(argv):
         b = np.asarray(read_image(pb).data)
         frac = float((a != b).mean())
         worst = max(worst, frac)
+        compared += 1
         print(f"{case}: disagree {frac:.6%} of voxels", flush=True)
+    if not compared:
+        print(f"no cases with both {name_a} and {name_b} under {root}",
+              flush=True)
+        return 1
     print(f"worst case disagreement: {worst:.6%}", flush=True)
     return 0 if worst <= 1e-4 else 1
 

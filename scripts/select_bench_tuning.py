@@ -68,20 +68,42 @@ def collect():
     return results
 
 
+    # tmp/ logs are volatile (two VM resets have wiped them); carry the
+    # already-recorded base/winner measurements forward so a fresh round's
+    # sweep can still be adjudicated. Values and provenance: BENCHMARKS.md
+    # "Training throughput" (exp_r2b median; bench.py re-measure Aug 19)
+    # and the prior configs/bench_tuning.json _source block.
+RECORDED_FALLBACKS = {
+    "base_b96_k4": 206.4,    # round-3 A/B base (BENCHMARKS.md round-3 table)
+    "base_b96_k16": 210.567,  # prior landed winner (bench_tuning.json)
+}
+
+
 def main():
     results = collect()
+    fellback = {}
+    for tag, pps in RECORDED_FALLBACKS.items():
+        if tag not in results:
+            results[tag] = pps
+            fellback[tag] = pps
     if "base_b96_k4" not in results:
         print("no base measurement yet; not writing tuning", flush=True)
         return 1
-    base = results["base_b96_k4"]
-    winner_tag, winner_pps = "base_b96_k4", base
+    # the bar is the best BASE-lineage measurement (plain base or the
+    # currently-landed tuning), not just the oldest base
+    base = max(results.get("base_b96_k4", 0.0),
+               results.get("base_b96_k16", 0.0))
+    base_tag = ("base_b96_k16"
+                if results.get("base_b96_k16", 0.0)
+                >= results.get("base_b96_k4", 0.0) else "base_b96_k4")
+    winner_tag, winner_pps = base_tag, base
     for tag, pps in results.items():
         if pps > winner_pps:
             winner_tag, winner_pps = tag, pps
-    if winner_pps <= base * 1.01 and winner_tag != "base_b96_k4":
+    if winner_pps <= base * 1.01 and winner_tag != base_tag:
         print(f"fastest variant {winner_tag} ({winner_pps}) does not beat "
               f"base ({base}) by >1%; keeping base", flush=True)
-        winner_tag, winner_pps = "base_b96_k4", base
+        winner_tag, winner_pps = base_tag, base
     print(json.dumps({"measured": results, "winner": winner_tag,
                       "winner_pps": winner_pps, "base_pps": base}),
           flush=True)
@@ -91,6 +113,8 @@ def main():
                          "base_patches_per_s": base,
                          "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log",
                                   "tmp/exp_r3tune.log", "tmp/exp_r4tune.log"]}
+    if fellback:
+        tuning["_source"]["recorded_fallbacks_used"] = fellback
     out = os.path.join(REPO, "configs", "bench_tuning.json")
     with open(out, "w") as f:
         json.dump(tuning, f, indent=2)
