@@ -43,23 +43,38 @@ def build_dataset(workdir: str, shape, n_train: int, n_eval: int):
 
 def write_config(workdir: str, patch, steps: int, small: bool,
                  drop_ratio: float = 0.2, min_pixel: int = 8,
-                 lr: float = 1e-3) -> str:
+                 lr: float = 1e-3, augment: bool = False) -> str:
     import yaml
 
+    # augment=True adds the reference's standard training augmentations
+    # (RandomFlip + RandomNoise, cf. pipeline/pipeline3D.yaml): the
+    # quality2 diagnosis (BENCHMARKS.md "Quality") found an un-augmented
+    # net brittle — individual grid patches collapse to noise predictions
+    # while neighboring patches in the SAME batch segment at dice ~0.9.
+    # Noise sigma 8 ~= 0.16 of the post-StatisticalNormalization noise
+    # std (window maps mean+/-2.5 std -> 0..255, so 1 sigma ~= 51).
+    train_tfms = [
+        {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
+        {"name": "Padding", "variables": {"output_size": list(patch)}},
+    ]
+    if augment:
+        train_tfms.append(
+            {"name": "RandomFlip", "variables": {"axes": [True, True, True]}})
+    train_tfms.append(
+        # drop_ratio = probability of ACCEPTING a crop with fewer than
+        # min_pixel foreground voxels (reference NiftiDataset3D.py
+        # RandomCrop semantics); at <=1% foreground, LOWERING it (with
+        # a meaningful min_pixel) biases sampling toward patches the
+        # rare classes actually appear in
+        {"name": "RandomCrop",
+         "variables": {"output_size": list(patch),
+                       "drop_ratio": drop_ratio,
+                       "min_pixel": min_pixel}})
+    if augment:
+        # after the crop: noise on the 64^3 patch, not the whole volume
+        train_tfms.append({"name": "RandomNoise", "variables": {"sigma": 8}})
     pipeline = {"preprocess": {
-        "train": {"3D": [
-            {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
-            {"name": "Padding", "variables": {"output_size": list(patch)}},
-            # drop_ratio = probability of ACCEPTING a crop with fewer than
-            # min_pixel foreground voxels (reference NiftiDataset3D.py
-            # RandomCrop semantics); at <=1% foreground, LOWERING it (with
-            # a meaningful min_pixel) biases sampling toward patches the
-            # rare classes actually appear in
-            {"name": "RandomCrop",
-             "variables": {"output_size": list(patch),
-                           "drop_ratio": drop_ratio,
-                           "min_pixel": min_pixel}},
-        ]},
+        "train": {"3D": train_tfms},
         "test": {"3D": [
             {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
             {"name": "Padding", "variables": {"output_size": list(patch)}},
@@ -101,7 +116,7 @@ def write_config(workdir: str, patch, steps: int, small: bool,
             # run's wall-clock — thin them (final state still saved)
             "CheckpointEveryNEpochs": 20,
             "Precision": "float32" if small else "bfloat16",
-            "CacheCases": 32,
+            "CacheCases": 64,
             "Networks": net,
             "Loss": {"Name": "weighted_sorensen", "Weights": [0.01, 0.3, 1.0]},
             "Optimizer": {"Name": "Adam", "InitialLearningRate": lr,
@@ -139,6 +154,12 @@ def main(argv=None):
     ap.add_argument("--min-pixel", type=int, default=8,
                     help="foreground-voxel threshold for --drop-ratio")
     ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--n-train", type=int, default=None,
+                    help="training cases to generate (default 8 small / "
+                         "24 full)")
+    ap.add_argument("--augment", action="store_true",
+                    help="add RandomFlip + RandomNoise training "
+                         "augmentation (reference pipeline3D.yaml style)")
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -158,11 +179,13 @@ def main(argv=None):
 
     if not os.path.isdir(os.path.join(workdir, "training")):
         print(f"generating synthetic dataset under {workdir} ...", flush=True)
-        build_dataset(workdir, shape, n_train=8 if small else 24,
+        n_train = args.n_train or (8 if small else 24)
+        build_dataset(workdir, shape, n_train=n_train,
                       n_eval=2 if small else 4)
     cpath = write_config(workdir, patch, args.steps, small,
                          drop_ratio=args.drop_ratio,
-                         min_pixel=args.min_pixel, lr=args.lr)
+                         min_pixel=args.min_pixel, lr=args.lr,
+                         augment=args.augment)
     print(f"config written: {cpath}", flush=True)
 
     from vnet_tpu.config import load_config
