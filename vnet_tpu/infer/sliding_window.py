@@ -327,16 +327,22 @@ class SlidingWindowInference:
         grid_floor = 0
         if self.slice_stacked:
             # cross the per-slice (H, W) grid with every REAL z: rows
-            # (z, y, x); the stack itself is zero-padded to the z bucket so
-            # different slice counts reuse one compiled program
+            # (z, y, x); the stack itself is padded to the z bucket so
+            # different slice counts reuse one compiled program. Padding
+            # REPEATS the last real slice (not zeros). Grid rows never
+            # reference the padded slices (flag-0 rows repeat the last
+            # REAL row below), but with ``norm="batch_stats"`` (the
+            # reference's BN eval semantics, model.py:917) every patch in
+            # a batch feeds the shared batch statistics, so real content
+            # is the safe invariant should the row padding ever change.
             nz_real = vol_shape[0]
             zb = self.z_bucket
             nz_pad = ((nz_real + zb - 1) // zb) * zb
             if nz_pad != nz_real:
+                vol_np = np.asarray(volume)
                 volume = np.concatenate(
-                    [np.asarray(volume),
-                     np.zeros((nz_pad - nz_real,) + vol_shape[1:],
-                              np.asarray(volume).dtype)])
+                    [vol_np,
+                     np.repeat(vol_np[-1:], nz_pad - nz_real, axis=0)])
                 vol_shape = tuple(volume.shape)
             m = starts.shape[0]
             zs = np.repeat(np.arange(nz_real, dtype=np.int32), m)
