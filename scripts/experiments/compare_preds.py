@@ -1,11 +1,17 @@
 """Compare two prediction volumes per case (e.g. xla vs pallas blend).
 
     python scripts/experiments/compare_preds.py tmp/quality2/evaluate \
-        pred_xla.nii.gz pred_pallas.nii.gz
+        pred_xla.nii.gz pred_pallas.nii.gz [tol]
 
-Prints per-case agreement; exit 1 if any case disagrees on >0.01% of
-voxels (argmax labels are integers — blend-impl equivalence should be
-near-exact; tiny disagreement only at float ties).
+Prints per-case agreement; exit 1 if any case disagrees on > tol
+(default 1e-4 = 0.01% of voxels: argmax labels are integers — blend-impl
+equivalence should be near-exact for a well-conditioned model, with
+disagreement only at float ties). For a model that emits near-boundary
+probabilities over large regions (e.g. the quality2 brittle checkpoint),
+calibrate tol against the SAME-impl cross-backend disagreement first —
+measured there: xla-vs-pallas on TPU 0.054% < TPU-vs-CPU same-impl
+0.085%, i.e. the blend impls agree to within backend numerics
+(BENCHMARKS.md "Quality").
 """
 
 import os
@@ -17,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main(argv):
     root, name_a, name_b = argv[1], argv[2], argv[3]
+    tol = float(argv[4]) if len(argv) > 4 else 1e-4
     import numpy as np
 
     from vnet_tpu.io import read_image
@@ -38,8 +45,9 @@ def main(argv):
         print(f"no cases with both {name_a} and {name_b} under {root}",
               flush=True)
         return 1
-    print(f"worst case disagreement: {worst:.6%}", flush=True)
-    return 0 if worst <= 1e-4 else 1
+    print(f"worst case disagreement: {worst:.6%} (tol {tol:.6%})",
+          flush=True)
+    return 0 if worst <= tol else 1
 
 
 if __name__ == "__main__":
