@@ -41,11 +41,9 @@ def get_parser():
     return p
 
 
-def main():
-    args = get_parser().parse_args()
-    from vnet_tpu.utils.platform import honor_jax_platforms_env
-    honor_jax_platforms_env()
-
+def flags_to_config(args):
+    """Assemble the Config from legacy flags + the checkpoint sidecar
+    (testable seam mirroring ``train.flags_to_config``)."""
     from vnet_tpu.config import parse_config
 
     pipeline = args.pipeline
@@ -116,7 +114,15 @@ def main():
             "Pipeline": pipeline,
         },
     }
-    config = parse_config(tree)
+    return parse_config(tree)
+
+
+def main():
+    args = get_parser().parse_args()
+    from vnet_tpu.utils.platform import honor_jax_platforms_env
+    honor_jax_platforms_env()
+
+    config = flags_to_config(args)
 
     from vnet_tpu.infer import Evaluator
     Evaluator(config).evaluate()

@@ -90,3 +90,34 @@ def test_export_forward_batch_stats():
     probs = np.asarray(load_exported(blob)(np.asarray(x)))
     assert probs.shape == (1, 16, 16, 16, 2)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_legacy_attention_evaluator_keeps_ema_norm(tmp_path):
+    """The reference's ATTENTION evaluator feeds train_phase=False (EMA,
+    evaluate.py:249-251) while the plain path feeds True (evaluate.py:255);
+    the legacy CLI mirrors that split unless the sidecar pins Norm."""
+    import json
+
+    import evaluate as evaluate_mod
+
+    def cfg_for(sidecar=None, extra_flags=()):
+        ckpt = tmp_path / f"ckpt_{len(list(tmp_path.iterdir()))}"
+        ckpt.mkdir()
+        if sidecar is not None:
+            (ckpt / "network_config.json").write_text(json.dumps(sidecar))
+        args = evaluate_mod.get_parser().parse_args([
+            "--data_dir", str(tmp_path), "--checkpoint_path", str(ckpt),
+            *extra_flags])
+        return evaluate_mod.flags_to_config(args)
+
+    # plain VNet: reference batch-stat eval (the config default)
+    assert cfg_for().train.network.norm == "batch_stats"
+    # attention via flag: EMA exception
+    assert cfg_for(extra_flags=("--attention",)).train.network.norm == "batch"
+    # attention via sidecar: EMA exception
+    cfg = cfg_for(sidecar={"Networks": {"Name": "VNet", "Attention": True}})
+    assert cfg.train.network.norm == "batch"
+    # sidecar pins Norm explicitly: respected over the exception
+    cfg = cfg_for(sidecar={"Networks": {"Name": "VNet", "Attention": True,
+                                        "Norm": "batch_stats"}})
+    assert cfg.train.network.norm == "batch_stats"
