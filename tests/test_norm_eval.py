@@ -121,3 +121,21 @@ def test_legacy_attention_evaluator_keeps_ema_norm(tmp_path):
     cfg = cfg_for(sidecar={"Networks": {"Name": "VNet", "Attention": True,
                                         "Norm": "batch_stats"}})
     assert cfg.train.network.norm == "batch_stats"
+
+
+def test_legacy_train_attention_records_ema_norm(tmp_path):
+    """train.py --attention records Norm=batch in the config (and thus the
+    checkpoint sidecar), so the legacy evaluator's EMA exception follows
+    the checkpoint (evaluate.py:249-251); plain runs keep the batch-stat
+    default."""
+    import train as train_mod
+
+    base = ["--data_dir", str(tmp_path), "--batch_size", "2",
+            "--patch_size", "32", "--patch_layer", "16",
+            "--log_dir", str(tmp_path / "log"),
+            "--checkpoint_dir", str(tmp_path / "ckpt")]
+    cfg = train_mod.flags_to_config(train_mod.get_parser().parse_args(base))
+    assert cfg.train.network.norm == "batch_stats"
+    cfg = train_mod.flags_to_config(
+        train_mod.get_parser().parse_args(base + ["--attention"]))
+    assert cfg.train.network.norm == "batch"

@@ -136,7 +136,13 @@ def flags_to_config(args):
                          "Dropout": 0.01, "NumChannel": 16,
                          "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
                          "BottomConvolutions": 3,
-                         "Attention": args.attention},
+                         "Attention": args.attention,
+                         # the reference's legacy ATTENTION evaluator feeds
+                         # train_phase=False (EMA eval, evaluate.py:249-251)
+                         # unlike every other inference path (batch stats,
+                         # model.py:917 / evaluate.py:255); record that in
+                         # the checkpoint sidecar so evaluation matches
+                         **({"Norm": "batch"} if args.attention else {})},
             "Loss": {"Name": args.loss_function, "Weights": [], "Alpha": 1,
                      "AttentionKind": args.attention_loss_function},
             "Optimizer": {
