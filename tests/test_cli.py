@@ -61,6 +61,23 @@ def test_legacy_train_topology_flag(tmp_path):
     assert cfg.train.network.name == "VNetLegacy"
 
 
+def test_legacy_train_memory_flags(tmp_path):
+    """--dropout_impl / --remat reach Networks (HBM levers for the deep
+    attention graph: b8 64^3 with xla dropout OOMs a 16G v5e by ~268MB)."""
+    import train as train_mod
+    p = train_mod.get_parser()
+    args = p.parse_args(["--data_dir", str(tmp_path), "--attention",
+                         "--dropout_impl", "bits8", "--remat"])
+    cfg = train_mod.flags_to_config(args)
+    assert cfg.train.network.dropout_impl == "bits8"
+    assert cfg.train.network.remat
+    # defaults unchanged
+    args = p.parse_args(["--data_dir", str(tmp_path)])
+    cfg = train_mod.flags_to_config(args)
+    assert cfg.train.network.dropout_impl == "xla"
+    assert not cfg.train.network.remat
+
+
 def test_legacy_evaluate_parser():
     import evaluate as eval_mod
     p = eval_mod.get_parser()

@@ -62,6 +62,17 @@ def get_parser():
                    help="preprocessing pipeline YAML; a minimal "
                         "pad+random-crop pipeline is generated if empty")
     p.add_argument("--max_iterations", type=int, default=10 ** 9)
+    p.add_argument("--dropout_impl", default="xla",
+                   choices=["xla", "bits8", "pallas"],
+                   help="dropout mask implementation (Networks.DropoutImpl); "
+                        "bits8 halves the rng HBM traffic and shrinks the "
+                        "mask buffers — useful when a deep graph (e.g. "
+                        "attention at 64^3) is within a few hundred MB of "
+                        "the HBM limit")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize conv blocks (Networks.Remat) — an "
+                        "OOM escape hatch, measured ~-25%% step time "
+                        "(BENCHMARKS.md)")
     return p
 
 
@@ -137,6 +148,8 @@ def flags_to_config(args):
                          "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
                          "BottomConvolutions": 3,
                          "Attention": args.attention,
+                         "DropoutImpl": args.dropout_impl,
+                         "Remat": args.remat,
                          # the reference's legacy ATTENTION evaluator feeds
                          # train_phase=False (EMA eval, evaluate.py:249-251)
                          # unlike every other inference path (batch stats,
