@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from .layers import Activation, Norm, conv
+from .layers import Activation, Dropout, Norm, conv
 from .vnet import VNet
 
 attention_kernel_init = nn.initializers.truncated_normal(stddev=0.1)
@@ -51,6 +51,7 @@ class ResidualAttentionBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -62,7 +63,8 @@ class ResidualAttentionBlock(nn.Module):
                       "conv_1")(x)
         y = Norm(self.norm, self.dtype, self.param_dtype, name="norm_1")(y, train)
         y = Activation(self.activation, self.param_dtype, name="act_1")(y)
-        y = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(y)
+        y = Dropout(rate=self.dropout_rate,
+                    impl=self.dropout_impl)(y, deterministic=not train)
 
         y = _att_conv(self.features, 3, rank, self.dtype, self.param_dtype,
                       "conv_2")(y)
@@ -74,7 +76,8 @@ class ResidualAttentionBlock(nn.Module):
         if self.output_activation:
             out = Activation(self.activation, self.param_dtype,
                              name="act_out")(out)
-        out = nn.Dropout(rate=self.dropout_rate, deterministic=not train)(out)
+        out = Dropout(rate=self.dropout_rate,
+                      impl=self.dropout_impl)(out, deterministic=not train)
         return out
 
 
@@ -89,6 +92,7 @@ class AttentionModule(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -97,6 +101,7 @@ class AttentionModule(nn.Module):
             x = ResidualAttentionBlock(
                 self.num_channels, True, self.norm, self.activation,
                 self.dropout_rate, self.dtype, self.param_dtype,
+                dropout_impl=self.dropout_impl,
                 name=f"resblock_{i + 1}")(x, train)
         logits = _att_conv(self.num_classes, 1, rank, self.dtype,
                            self.param_dtype, "output_conv")(x)
@@ -116,6 +121,7 @@ class OutputModule(nn.Module):
     dropout_rate: float = 0.0
     dtype: Optional[Any] = None
     param_dtype: Any = jnp.float32
+    dropout_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -124,6 +130,7 @@ class OutputModule(nn.Module):
             x = ResidualAttentionBlock(
                 self.num_channels, True, self.norm, self.activation,
                 self.dropout_rate, self.dtype, self.param_dtype,
+                dropout_impl=self.dropout_impl,
                 name=f"resblock_{i + 1}")(x, train)
         logits = _att_conv(self.num_classes, 1, rank, self.dtype,
                            self.param_dtype, "output_conv")(x)
@@ -150,8 +157,11 @@ class AttentionGatedVNet(nn.Module):
     param_dtype: Any = jnp.float32
     conv_impl: str = "direct"
     packed_target_lanes: int = 0  # see VNet.packed_target_lanes
-    # forwarded to the backbone V-Net (the attention/output heads use
-    # flax dropout: their cost is a small fraction of the backbone's)
+    # forwarded to the backbone V-Net AND the attention/output heads.
+    # The heads' full-resolution 64-channel dropout masks are the largest
+    # temp buffers in the b8 64^3 training graph (256 MB padded pred
+    # each — the allocations that OOM a 16 GB v5e with impl="xla");
+    # bits8 shrinks exactly those.
     dropout_impl: str = "xla"
     # rematerialize the attention/output heads AND the backbone's conv
     # blocks in the backward pass: the heads' full-resolution 64-channel
@@ -195,7 +205,8 @@ class AttentionGatedVNet(nn.Module):
         attention_logits = att_cls(
             self.num_classes, self.attention_channels, norm=self.norm,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="attention")(logits_vnet, train)
+            param_dtype=self.param_dtype, dropout_impl=self.dropout_impl,
+            name="attention")(logits_vnet, train)
 
         # train.py:301-302: gate amplifies the backbone logits
         gate = 1.0 + jax.nn.softmax(attention_logits, axis=-1)
@@ -204,7 +215,8 @@ class AttentionGatedVNet(nn.Module):
         logits = out_cls(
             self.num_classes, self.attention_channels, norm=self.norm,
             dropout_rate=self.dropout_rate, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="output_module")(masked, train)
+            param_dtype=self.param_dtype, dropout_impl=self.dropout_impl,
+            name="output_module")(masked, train)
         return logits, attention_logits
 
 
