@@ -29,21 +29,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def build_dataset(workdir: str, shape, n_train: int, n_eval: int):
+def build_dataset(workdir: str, shape, n_train: int, n_eval: int,
+                  multimodal: bool = False):
     import numpy as np
 
     from vnet_tpu.utils.synthdata import make_hard_dataset
 
     rng = np.random.default_rng(42)
-    make_hard_dataset(workdir, "training", n_train, rng, shape=shape)
+    make_hard_dataset(workdir, "training", n_train, rng, shape=shape,
+                      multimodal=multimodal)
     make_hard_dataset(workdir, "testing", max(1, n_train // 8), rng,
-                      shape=shape)
-    make_hard_dataset(workdir, "evaluate", n_eval, rng, shape=shape)
+                      shape=shape, multimodal=multimodal)
+    make_hard_dataset(workdir, "evaluate", n_eval, rng, shape=shape,
+                      multimodal=multimodal)
 
 
 def write_config(workdir: str, patch, steps: int, small: bool,
                  drop_ratio: float = 0.2, min_pixel: int = 8,
-                 lr: float = 1e-3, augment: bool = False) -> str:
+                 lr: float = 1e-3, augment: bool = False,
+                 multimodal: bool = False) -> str:
     import yaml
 
     rank2 = len(patch) == 2
@@ -140,7 +144,8 @@ def write_config(workdir: str, patch, steps: int, small: bool,
         "TrainingSetting": {
             "Data": {"TrainingDataDirectory": os.path.join(workdir, "training"),
                      "TestingDataDirectory": os.path.join(workdir, "testing"),
-                     "ImageFilenames": ["image.nii"],
+                     "ImageFilenames": (["image.nii", "image_t2.nii"]
+                                        if multimodal else ["image.nii"]),
                      "LabelFilename": "label.nii"},
             "SegmentationClasses": [0, 1, 2],
             # rank-2: the slice inventory keeps slices whose smallest
@@ -169,7 +174,8 @@ def write_config(workdir: str, patch, steps: int, small: bool,
         },
         "EvaluationSetting": {
             "Data": {"EvaluateDataDirectory": os.path.join(workdir, "evaluate"),
-                     "ImageFilenames": ["image.nii"],
+                     "ImageFilenames": (["image.nii", "image_t2.nii"]
+                                        if multimodal else ["image.nii"]),
                      "LabelFilename": "pred.nii.gz",
                      "ProbabilityOutput": False},
             "Stride": [max(8, p // 2) for p in patch],
@@ -208,6 +214,11 @@ def main(argv=None):
                     help="2D regime: train on labeled slices of the same "
                          "3D volumes (NiftiDataset2D parity), evaluate "
                          "slice-stacked, report 3D per-class Dice")
+    ap.add_argument("--multimodal", action="store_true",
+                    help="2-channel dataset (image.nii + image_t2.nii) "
+                         "where each foreground class is separable in one "
+                         "channel only — good Dice on both classes "
+                         "requires modality fusion")
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -232,11 +243,13 @@ def main(argv=None):
         print(f"generating synthetic dataset under {workdir} ...", flush=True)
         n_train = args.n_train or (8 if small else 24)
         build_dataset(workdir, shape, n_train=n_train,
-                      n_eval=2 if small else 4)
+                      n_eval=2 if small else 4,
+                      multimodal=args.multimodal)
     cpath = write_config(workdir, patch, args.steps, small,
                          drop_ratio=args.drop_ratio,
                          min_pixel=args.min_pixel, lr=args.lr,
-                         augment=args.augment)
+                         augment=args.augment,
+                         multimodal=args.multimodal)
     print(f"config written: {cpath}", flush=True)
 
     from vnet_tpu.config import load_config

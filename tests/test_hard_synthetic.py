@@ -17,7 +17,40 @@ import yaml
 from vnet_tpu.config import load_config
 from vnet_tpu.io import read_image
 from vnet_tpu.utils.synthdata import (dice_per_class, make_hard_case,
+                                      make_hard_case_multimodal,
                                       make_hard_dataset)
+
+
+def test_multimodal_generator_contract(rng):
+    """Each class separable in exactly one channel (fusion required)."""
+    for _ in range(10):  # the small shape can draw a case w/o class 2
+        chans, lbl = make_hard_case_multimodal(rng, shape=(48, 48, 32))
+        l = np.asarray(lbl.data)
+        if (l == 1).sum() >= 50 and (l == 2).sum() >= 50:
+            break
+    else:
+        pytest.fail("no draw with both foreground classes in 10 tries")
+    assert len(chans) == 2
+    assert set(np.unique(l)) <= {0, 1, 2}
+    ch1, ch2 = (np.asarray(c.data) for c in chans)
+
+    def gap(img, cls):
+        bg, fg = img[l == 0], img[l == cls]
+        return abs(fg.mean() - bg.mean()) / bg.std()
+
+    assert gap(ch1, 1) > 0.2          # class 1 visible in ch1
+    assert gap(ch1, 2) < 0.15, gap(ch1, 2)   # ...invisible in ch1
+    assert gap(ch2, 2) > 0.2          # class 2 visible in ch2
+    assert gap(ch2, 1) < 0.15, gap(ch2, 1)   # ...invisible in ch2
+
+
+def test_multimodal_dataset_files(tmp_path, rng):
+    make_hard_dataset(str(tmp_path), "training", 1, rng,
+                      shape=(24, 24, 16), multimodal=True)
+    case = os.path.join(str(tmp_path), "training", "case_0")
+    assert os.path.exists(os.path.join(case, "image.nii"))
+    assert os.path.exists(os.path.join(case, "image_t2.nii"))
+    assert os.path.exists(os.path.join(case, "label.nii"))
 
 
 def test_generator_contract(rng):

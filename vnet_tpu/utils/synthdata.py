@@ -100,17 +100,63 @@ def make_hard_case(rng, shape=(96, 96, 64), spacing=(0.75, 0.75, 0.75),
             MedicalImage(label, spacing))
 
 
+def make_hard_case_multimodal(rng, shape=(96, 96, 64),
+                              spacing=(0.75, 0.75, 0.75),
+                              fg_fraction: float = 0.01,
+                              contrast: float = 0.6,
+                              noise_sigma: float = 20.0,
+                              bg_mean: float = 100.0,
+                              bias_strength: float = 0.1):
+    """Two-modality hard case: each foreground class is separable in ONE
+    channel only (class 1 bright in channel 1, class 2 dark in channel 2;
+    invisible in the other) — a net reaching per-class Dice on BOTH
+    classes must fuse the modalities (exercises the reference's
+    multi-channel input stack, `NiftiDataset3D.py:60-88` /
+    `model.py:351-361`, end-to-end). Independent noise and bias fields
+    per channel. Returns ``([ch1, ch2], label)``."""
+    n_vox = int(np.prod(shape))
+    label = np.zeros(shape, np.uint8)
+    budget1 = int(n_vox * fg_fraction * 0.75)
+    budget2 = int(n_vox * fg_fraction * 0.25)
+    for _ in range(int(rng.integers(2, 4))):
+        budget1 -= _stamp_walk(label, rng, 1,
+                               n_steps=int(rng.integers(4, 9)),
+                               radius_range=(2, 5), max_voxels=budget1)
+    for _ in range(int(rng.integers(1, 3))):
+        budget2 -= _stamp_walk(label, rng, 2,
+                               n_steps=int(rng.integers(3, 6)),
+                               radius_range=(2, 4), max_voxels=budget2)
+
+    ch1 = rng.normal(bg_mean, noise_sigma, size=shape).astype(np.float32)
+    ch1[label == 1] += contrast * noise_sigma      # class 2 invisible here
+    ch1 *= _bias_field(shape, rng, bias_strength)
+    ch2 = rng.normal(bg_mean, noise_sigma, size=shape).astype(np.float32)
+    ch2[label == 2] -= contrast * noise_sigma      # class 1 invisible here
+    ch2 *= _bias_field(shape, rng, bias_strength)
+    return ([MedicalImage(ch1, spacing), MedicalImage(ch2, spacing)],
+            MedicalImage(label, spacing))
+
+
 def make_hard_dataset(root: str, split: str, num_cases: int, rng=None,
                       shape=(96, 96, 64), write_labels: bool = True,
-                      **case_kw) -> str:
+                      multimodal: bool = False, **case_kw) -> str:
+    """``multimodal=True`` writes ``image.nii`` + ``image_t2.nii`` per
+    case (make_hard_case_multimodal; filenames match
+    configs/config_attention_multimodal.json)."""
     rng = rng if rng is not None else np.random.default_rng(0)
     split_dir = os.path.join(root, split)
     os.makedirs(split_dir, exist_ok=True)
     for i in range(num_cases):
-        img, lbl = make_hard_case(rng, shape=shape, **case_kw)
         case_dir = os.path.join(split_dir, f"case_{i}")
         os.makedirs(case_dir, exist_ok=True)
-        write_image(img, os.path.join(case_dir, "image.nii"))
+        if multimodal:
+            chans, lbl = make_hard_case_multimodal(rng, shape=shape,
+                                                   **case_kw)
+            write_image(chans[0], os.path.join(case_dir, "image.nii"))
+            write_image(chans[1], os.path.join(case_dir, "image_t2.nii"))
+        else:
+            img, lbl = make_hard_case(rng, shape=shape, **case_kw)
+            write_image(img, os.path.join(case_dir, "image.nii"))
         if write_labels:
             write_image(lbl, os.path.join(case_dir, "label.nii"))
     return split_dir
