@@ -53,6 +53,21 @@ def test_legacy_train_flags_to_config(tmp_path):
     assert os.path.exists(cfg.train.pipeline_path)
 
 
+def test_legacy_train_save_interval(tmp_path):
+    """--save_interval reaches CheckpointEveryNEpochs (it was parsed but
+    unwired: every 8-step epoch saved a ~100MB orbax checkpoint through
+    the MB/s tunnel, turning ~5s of compute into 15-75s epochs)."""
+    import train as train_mod
+    p = train_mod.get_parser()
+    args = p.parse_args(["--data_dir", str(tmp_path),
+                         "--save_interval", "50"])
+    cfg = train_mod.flags_to_config(args)
+    assert cfg.train.ckpt_every_n_epochs == 50
+    args = p.parse_args(["--data_dir", str(tmp_path)])
+    cfg = train_mod.flags_to_config(args)
+    assert cfg.train.ckpt_every_n_epochs == 1  # reference per-epoch default
+
+
 def test_legacy_train_topology_flag(tmp_path):
     import train as train_mod
     p = train_mod.get_parser()

@@ -145,6 +145,13 @@ def flags_to_config(args):
             "Epoches": args.epochs,
             "MaxIterations": args.max_iterations,
             "LogInterval": args.display_step,
+            # reference saves per-epoch (model.py:806-808); --save_interval
+            # thins the epoch-end checkpoints when epochs are short and
+            # orbax save I/O dominates wall-clock (observed: 15-75 s epochs
+            # for 8 steps of compute through the remote tunnel). The final
+            # state always persists (MaxIterations abort save + final-epoch
+            # save in the Trainer).
+            "CheckpointEveryNEpochs": args.save_interval,
             "DropRatio": args.drop_ratio,
             "MinPixel": args.min_pixel,
             "CacheCases": args.cache_cases,
