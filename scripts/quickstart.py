@@ -64,8 +64,9 @@ def write_config(workdir: str, patch, steps: int, small: bool,
             {"name": "Padding", "variables": {"output_size": list(patch)}},
         ]
         if augment:
-            train_tfms2d.append(
-                {"name": "RandomFlip", "variables": {"axes": [True, True]}})
+            # 2D RandomFlip is parameterless: independent LR/UD flips,
+            # each p=0.5 (NiftiDataset2D.py:534-569 parity)
+            train_tfms2d.append({"name": "RandomFlip"})
         train_tfms2d.append(
             {"name": "RandomCrop",
              "variables": {"output_size": list(patch),
