@@ -22,7 +22,7 @@
 #   nohup bash scripts/experiments/master_loop4.sh > tmp/master_loop4.log 2>&1 &
 #   echo $! > tmp/master_loop4.pid
 set -u
-cd "$(dirname "$0")/../.."
+cd "$(dirname "$0")/../.." || exit 1
 mkdir -p tmp
 
 RETRY_SLEEP=${RETRY_SLEEP:-90}
