@@ -33,6 +33,12 @@ def main(argv=None):
     ap.add_argument("--suffix", default=None,
                     help="write preds as pred_<suffix>.nii.gz instead of "
                          "overwriting pred.nii.gz")
+    ap.add_argument("--data-dir", default=None,
+                    help="evaluate a different case directory (e.g. the "
+                         "TRAINING dir, to split overfitting from eval-path "
+                         "bugs: train Dice high + held-out low = overfit)")
+    ap.add_argument("--max-cases", type=int, default=None,
+                    help="evaluate only the first N cases of --data-dir")
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -50,9 +56,25 @@ def main(argv=None):
     if args.suffix:
         base, ext = cfg.evaluate.label_filename.split(".nii")
         cfg.evaluate.label_filename = f"{base}_{args.suffix}.nii{ext}"
+    if args.data_dir:
+        cfg.evaluate.data_dir = os.path.abspath(args.data_dir)
 
     ev = Evaluator(cfg)
-    results = ev.evaluate()
+    if args.max_cases is not None:
+        from vnet_tpu.data import list_cases
+        from vnet_tpu.io import write_image
+        cases = list_cases(ev.e.data_dir)[:args.max_cases]
+        results = []
+        for case in cases:
+            case_dir = os.path.join(ev.e.data_dir, case)
+            out = ev.evaluate_case(case_dir)
+            if out is None:
+                continue
+            label_path = os.path.join(case_dir, ev.e.label_filename)
+            write_image(out[0], label_path)
+            results.append(label_path)
+    else:
+        results = ev.evaluate()
     print(f"blend_impl={args.blend_impl}: evaluated {len(results)} case(s)",
           flush=True)
     num_classes = ev.t.num_classes

@@ -141,8 +141,17 @@ def write_config(workdir: str, patch, steps: int, small: bool,
            {"Name": "VNet", "Dropout": 0.01, "NumChannel": 16,
             "NumLevels": 4, "NumConvolutions": [1, 2, 3, 3],
             "BottomConvolutions": 3, "PackedTargetLanes": 128})
+    # 3D augmentation runs as the fused on-device tail (data/device_aug.py):
+    # the trainer extracts RandomFlip/RandomNoise from the host chain
+    # (trainer.py::_extract_device_augment, identical math — flip all axes
+    # together p=0.5, additive gaussian on the cropped patch), leaving the
+    # 1-core host only the cached statnorm prefix + RandomCrop. Round-4's
+    # multimodal quality run starved at 8.6-16.4 s per 8-step epoch with the
+    # host chain (BENCHMARKS.md).
+    device_augment = bool(augment and not rank2)
     cfg = {
         "TrainingSetting": {
+            "DeviceAugment": device_augment,
             "Data": {"TrainingDataDirectory": os.path.join(workdir, "training"),
                      "TestingDataDirectory": os.path.join(workdir, "testing"),
                      "ImageFilenames": (["image.nii", "image_t2.nii"]
