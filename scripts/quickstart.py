@@ -30,18 +30,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_dataset(workdir: str, shape, n_train: int, n_eval: int,
-                  multimodal: bool = False):
+                  multimodal: bool = False, contrast: float = 0.6):
     import numpy as np
 
     from vnet_tpu.utils.synthdata import make_hard_dataset
 
     rng = np.random.default_rng(42)
-    make_hard_dataset(workdir, "training", n_train, rng, shape=shape,
-                      multimodal=multimodal)
-    make_hard_dataset(workdir, "testing", max(1, n_train // 8), rng,
-                      shape=shape, multimodal=multimodal)
-    make_hard_dataset(workdir, "evaluate", n_eval, rng, shape=shape,
-                      multimodal=multimodal)
+    kw = dict(shape=shape, multimodal=multimodal, contrast=contrast)
+    make_hard_dataset(workdir, "training", n_train, rng, **kw)
+    make_hard_dataset(workdir, "testing", max(1, n_train // 8), rng, **kw)
+    make_hard_dataset(workdir, "evaluate", n_eval, rng, **kw)
 
 
 def write_config(workdir: str, patch, steps: int, small: bool,
@@ -64,9 +62,14 @@ def write_config(workdir: str, patch, steps: int, small: bool,
             {"name": "Padding", "variables": {"output_size": list(patch)}},
         ]
         if augment:
-            # 2D RandomFlip is parameterless: independent LR/UD flips,
-            # each p=0.5 (NiftiDataset2D.py:534-569 parity)
+            # the reference's 2D training arsenal
+            # (NiftiDataset2D.py:534-624): parameterless RandomFlip
+            # (independent LR/UD, each p=0.5) + RandomRotate
+            # (uniform [-90,90) deg) + RandomTranslate
             train_tfms2d.append({"name": "RandomFlip"})
+            train_tfms2d.append({"name": "RandomRotate"})
+            train_tfms2d.append({"name": "RandomTranslate",
+                                 "variables": {"maxOffset": [10, 10]}})
         train_tfms2d.append(
             {"name": "RandomCrop",
              "variables": {"output_size": list(patch),
@@ -229,6 +232,14 @@ def main(argv=None):
                          "where each foreground class is separable in one "
                          "channel only — good Dice on both classes "
                          "requires modality fusion")
+    ap.add_argument("--contrast", type=float, default=None,
+                    help="lesion contrast in background-noise sigmas "
+                         "(default 0.6; --rank2 defaults to 2.0 — the "
+                         "per-slice matched-filter oracle proves 0.6 is "
+                         "2D-unpassable, fg ceiling [0.38, 0.18], and "
+                         "passes at 2.0 with ceiling ~[0.88, 0.86]: "
+                         "scripts/experiments/diag2d/oracle2d_sweep.py, "
+                         "BENCHMARKS.md round-5 2D diagnosis)")
     args = ap.parse_args(argv)
 
     from vnet_tpu.utils.platform import honor_jax_platforms_env
@@ -249,12 +260,15 @@ def main(argv=None):
     else:
         patch = (32, 32, 32) if small else (64, 64, 64)
 
+    contrast = args.contrast if args.contrast is not None else (
+        2.0 if args.rank2 else 0.6)
     if not os.path.isdir(os.path.join(workdir, "training")):
-        print(f"generating synthetic dataset under {workdir} ...", flush=True)
+        print(f"generating synthetic dataset under {workdir} "
+              f"(contrast {contrast} sigma) ...", flush=True)
         n_train = args.n_train or (8 if small else 24)
         build_dataset(workdir, shape, n_train=n_train,
                       n_eval=2 if small else 4,
-                      multimodal=args.multimodal)
+                      multimodal=args.multimodal, contrast=contrast)
     cpath = write_config(workdir, patch, args.steps, small,
                          drop_ratio=args.drop_ratio,
                          min_pixel=args.min_pixel, lr=args.lr,

@@ -289,6 +289,45 @@ def test_case_cache_is_exact_2d(tmp_path, rng):
             np.testing.assert_array_equal(la, lb)
 
 
+def test_case_cache_2d_engages_without_3d_transforms(tmp_path, rng):
+    """Regression: the rank2 quality pipeline has transforms3D=[] and the
+    old gate (`cache_cases > 0 and _n_det3d > 0`) bypassed the cache
+    entirely — every slice sample re-decoded the whole 3D volume. The
+    cache must engage (one decode per case), samples must match the
+    uncached path, and in-place 2D transforms must not corrupt the
+    shared read-only cache entry."""
+    from vnet_tpu.data import rand as vrand
+    from vnet_tpu.data import transforms2d as T2
+    from vnet_tpu.data.dataset2d import NiftiDataset2D
+    from fixtures import make_dataset_dir
+
+    make_dataset_dir(str(tmp_path), "training", num_cases=2, rng=rng)
+    t2 = lambda: [T2.ManualNormalization(0, 200),
+                  T2.Padding([24, 24]),
+                  T2.RandomFlip()]
+    kw = dict(image_filenames=["image.nii"], label_filename="label.nii",
+              train=True, labels=[0, 1], min_pixel=0, drop_ratio=1.0)
+    vrand.seed(7)
+    a = NiftiDataset2D(str(tmp_path / "training"), transforms3D=[],
+                       transforms2D=t2(), **kw)
+    vrand.seed(7)
+    b = NiftiDataset2D(str(tmp_path / "training"), transforms3D=[],
+                       transforms2D=t2(), cache_cases=2, **kw)
+    assert b._n_det3d == 0
+    loads = []
+    orig = NiftiDataset2D._load_case
+    b._load_case = lambda case: (loads.append(case), orig(b, case))[1]
+    for i in range(min(8, len(a.slices))):
+        for _ in range(2):  # second pass must hit the cache
+            vrand.seed(55 + i)
+            ia, la = a.get_sample(i)
+            vrand.seed(55 + i)
+            ib, lb = b.get_sample(i)
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(la, lb)
+    assert sorted(set(loads)) == sorted(loads)  # one decode per case
+
+
 def test_case_cache_thread_safe_under_eviction(tmp_path, rng):
     """Thread-backend loaders call get_sample concurrently; with
     cache_cases < num_cases every fetch races insert/evict/move_to_end on

@@ -40,7 +40,10 @@ def extract_slice(img: MedicalImage, z: int) -> MedicalImage:
     """sitk ExtractImageFilter along z (`NiftiDataset2D.py:258-270`):
     slice ``z`` with its 2D geometry (spacing/origin/direction)."""
     D = img.direction_matrix()
-    return MedicalImage(np.ascontiguousarray(img.data[:, :, z]),
+    # explicit copy (not just ascontiguousarray, which can alias when the
+    # slice view happens to be contiguous): callers mutate the result
+    # while the source may be a shared cache entry (_cached_volume)
+    return MedicalImage(np.array(img.data[:, :, z], order="C"),
                         img.spacing[:2],
                         img.TransformIndexToPhysicalPoint((0, 0, z))[:2],
                         tuple(D[:2, :2].ravel()))
@@ -83,13 +86,18 @@ class NiftiDataset2D:
 
     def warm_cache(self):
         """See NiftiDataset3D.warm_cache (parent-side COW warm-up)."""
-        if self.cache_cases <= 0 or self._n_det3d == 0:
+        if self.cache_cases <= 0:
             return
         for case in list_cases(self.data_dir)[:self.cache_cases]:
-            self._cached_volume(case)
+            self._cached_volume(case, copy=False)
 
-    def _cached_volume(self, case: str):
-        """Load + deterministic 3D prefix for ``case``, memoized."""
+    def _cached_volume(self, case: str, copy: bool = True):
+        """Load + deterministic 3D prefix for ``case``, memoized.
+
+        ``copy=False`` returns the shared cached entry directly — legal
+        only when the caller treats it as read-only (the no-stochastic-
+        3D-tail fast path below, where only slice-sized copies are ever
+        taken from it)."""
         with self._cache_lock:
             cached = self._prefix_cache.get(case)
             if cached is not None:
@@ -104,6 +112,8 @@ class NiftiDataset2D:
                 self._prefix_cache[case] = cached
                 while len(self._prefix_cache) > self.cache_cases:
                     self._prefix_cache.popitem(last=False)
+        if not copy:
+            return cached
         return {
             "image": [im.like(np.array(im.data, copy=True))
                       for im in cached["image"]],
@@ -154,9 +164,15 @@ class NiftiDataset2D:
 
     def get_sample(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         case, z = self.slices[index]
-        if self.cache_cases > 0 and self._n_det3d > 0:
-            sample = self._cached_volume(case)
+        if self.cache_cases > 0:
             rest3d = self.transforms3D[self._n_det3d:]
+            # with no stochastic 3D tail the cached volume is read-only:
+            # skip the O(volume) defensive copy — extract_slice below
+            # copies only the slice. (Round-4's rank2 quality run, which
+            # has NO 3D transforms at all, hit neither branch of the old
+            # `cache_cases > 0 and _n_det3d > 0` gate and re-decoded the
+            # whole 96^3 volume for every slice sample.)
+            sample = self._cached_volume(case, copy=bool(rest3d))
         else:
             sample = self._load_case(case)
             rest3d = self.transforms3D
