@@ -30,12 +30,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_dataset(workdir: str, shape, n_train: int, n_eval: int,
-                  multimodal: bool = False, contrast: float = 0.6):
+                  multimodal: bool = False, contrast: float = 0.6,
+                  seed: int = 42):
     import numpy as np
 
     from vnet_tpu.utils.synthdata import make_hard_dataset
 
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     kw = dict(shape=shape, multimodal=multimodal, contrast=contrast)
     make_hard_dataset(workdir, "training", n_train, rng, **kw)
     make_hard_dataset(workdir, "testing", max(1, n_train // 8), rng, **kw)
@@ -45,7 +46,7 @@ def build_dataset(workdir: str, shape, n_train: int, n_eval: int,
 def write_config(workdir: str, patch, steps: int, small: bool,
                  drop_ratio: float = 0.2, min_pixel: int = 8,
                  lr: float = 1e-3, augment: bool = False,
-                 multimodal: bool = False) -> str:
+                 multimodal: bool = False, seed: int = 42) -> str:
     import yaml
 
     rank2 = len(patch) == 2
@@ -154,6 +155,7 @@ def write_config(workdir: str, patch, steps: int, small: bool,
     device_augment = bool(augment and not rank2)
     cfg = {
         "TrainingSetting": {
+            "Seed": seed,
             "DeviceAugment": device_augment,
             "Data": {"TrainingDataDirectory": os.path.join(workdir, "training"),
                      "TestingDataDirectory": os.path.join(workdir, "testing"),
@@ -232,6 +234,9 @@ def main(argv=None):
                          "where each foreground class is separable in one "
                          "channel only — good Dice on both classes "
                          "requires modality fusion")
+    ap.add_argument("--seed", type=int, default=42,
+                    help="dataset-generation AND training seed (change "
+                         "for reproducibility re-runs on fresh data)")
     ap.add_argument("--contrast", type=float, default=None,
                     help="lesion contrast in background-noise sigmas "
                          "(default 0.6; --rank2 defaults to 2.0 — the "
@@ -268,12 +273,13 @@ def main(argv=None):
         n_train = args.n_train or (8 if small else 24)
         build_dataset(workdir, shape, n_train=n_train,
                       n_eval=2 if small else 4,
-                      multimodal=args.multimodal, contrast=contrast)
+                      multimodal=args.multimodal, contrast=contrast,
+                      seed=args.seed)
     cpath = write_config(workdir, patch, args.steps, small,
                          drop_ratio=args.drop_ratio,
                          min_pixel=args.min_pixel, lr=args.lr,
                          augment=args.augment,
-                         multimodal=args.multimodal)
+                         multimodal=args.multimodal, seed=args.seed)
     print(f"config written: {cpath}", flush=True)
 
     from vnet_tpu.config import load_config

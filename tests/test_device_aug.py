@@ -34,6 +34,25 @@ def test_random_flip_per_sample(rng):
     assert flipped + unchanged == 4
 
 
+def test_random_flip_same_key_consistent_for_distmaps(rng):
+    """The attention train step flips distance maps with the SAME key as
+    images/labels (trainer.py device_augment): identical per-sample coins,
+    so every sample's (image, label, distmap) triple flips together."""
+    imgs = jnp.asarray(rng.normal(size=(8, 6, 6, 6, 1)).astype(np.float32))
+    lbls = jnp.asarray(rng.integers(0, 2, (8, 6, 6, 6)).astype(np.int32))
+    dmaps = jnp.asarray(rng.normal(size=(8, 6, 6, 6)).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    fi, fl = random_flip(key, imgs, lbls, axes=(0, 1))
+    _, fd = random_flip(key, imgs, dmaps, axes=(0, 1))
+    fi, fl, fd = np.asarray(fi), np.asarray(fl), np.asarray(fd)
+    for b in range(8):
+        if np.allclose(fi[b], np.asarray(imgs)[b]):
+            np.testing.assert_array_equal(fd[b], np.asarray(dmaps)[b])
+        else:
+            np.testing.assert_allclose(fd[b],
+                                       np.asarray(dmaps)[b, ::-1, ::-1])
+
+
 def test_random_noise_stats(rng):
     x = jnp.zeros((2, 16, 16, 16, 1), jnp.float32)
     y = np.asarray(random_noise(jax.random.PRNGKey(1), x, sigma=5.0))

@@ -78,6 +78,12 @@ def get_parser():
                         "transformed cases in the loader "
                         "(TrainingSetting.CacheCases; 15x measured loader "
                         "speedup — essential on slow hosts)")
+    p.add_argument("--device_augment", action="store_true",
+                   help="run the RandomFlip/RandomNoise pipeline tail "
+                        "fused on-device in the jitted step "
+                        "(TrainingSetting.DeviceAugment) instead of "
+                        "per-sample on host — identical math, unstarves "
+                        "slow hosts")
     return p
 
 
@@ -155,6 +161,7 @@ def flags_to_config(args):
             "DropRatio": args.drop_ratio,
             "MinPixel": args.min_pixel,
             "CacheCases": args.cache_cases,
+            "DeviceAugment": args.device_augment,
             "Networks": {"Name": ("VNetLegacy" if args.legacy_topology
                                   else "VNet"),
                          "Dropout": 0.01, "NumChannel": 16,

@@ -88,6 +88,13 @@ def make_train_step(network, tx, loss_cfg, num_classes: int,
             if flip_axes:
                 kf, aug_rng = jax.random.split(aug_rng)
                 images, labels = random_flip(kf, images, labels, flip_axes)
+                if distance_maps is not None:
+                    # same key -> same per-sample coin: the gate's
+                    # regression target flips with its image/label (the
+                    # distance transform is flip-equivariant, so flipping
+                    # the precomputed map equals recomputing it)
+                    _, distance_maps = random_flip(
+                        kf, images, distance_maps, flip_axes)
             if noise_sigma > 0.0:
                 images = random_noise(aug_rng, images, noise_sigma)
 
@@ -189,7 +196,7 @@ class Trainer:
             packed_target_lanes=net_cfg.packed_target_lanes,
             dropout_impl=net_cfg.dropout_impl, remat=net_cfg.remat,
             legacy_double_norm=(net_cfg.name == "VNetLegacy"),
-            custom_dw=net_cfg.custom_dw,
+            dw_impl=net_cfg.dw_impl,
             dtype=self.dtype)
 
         self.tx, self.lr_schedule = build_optimizer(self.t.optimizer)
@@ -455,7 +462,7 @@ class Trainer:
                 "Attention": net.attention, "Norm": net.norm,
                 "PackedTargetLanes": net.packed_target_lanes,
                 "DropoutImpl": net.dropout_impl, "Remat": net.remat,
-                "CustomDw": net.custom_dw,
+                "DwImpl": net.dw_impl,
             },
             "SegmentationClasses": list(self.t.segmentation_classes),
             "PatchShape": list(self.t.patch_shape),
