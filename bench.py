@@ -75,9 +75,10 @@ def _run():
                                   tuning.get("dropout_impl", "xla"))
     opt_name = os.environ.get("VNET_BENCH_OPT",
                               tuning.get("opt", "adam"))  # adam | fused
-    custom_dw = (os.environ.get(
-        "VNET_BENCH_CUSTOM_DW",
-        "1" if tuning.get("custom_dw", False) else "0") == "1")
+    dw_impl = os.environ.get(
+        "VNET_BENCH_DW_IMPL",
+        tuning.get("dw_impl",
+                   "custom" if tuning.get("custom_dw", False) else "xla"))
     num_classes = 3  # reference config.json: classes [0,1,2]
     weights = (0.01, 0.1, 1.0)
 
@@ -86,7 +87,7 @@ def _run():
                  dropout_rate=0.01, activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
                  packed_target_lanes=128, dropout_impl=dropout_impl,
-                 custom_dw=custom_dw)
+                 dw_impl=dw_impl)
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)

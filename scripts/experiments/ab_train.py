@@ -53,7 +53,8 @@ sys.path.insert(0, REPO)
 
 PROBE_FAILED_RC = 42
 
-_BASE = dict(rate=0.01, impl="xla", opt="adam", cdw=False, batch=96, scan=4)
+_BASE = dict(rate=0.01, impl="xla", opt="adam", dw="xla", batch=96,
+             scan=4)
 
 
 def _v(**kw):
@@ -68,9 +69,9 @@ VARIANTS = {
     "pdrop_b96_k4": _v(impl="pallas"),
     "flatadam_b96_k4": _v(opt="fused"),
     "combo_pdrop_flatadam_b96_k4": _v(impl="pallas", opt="fused"),
-    "cdw_b96_k4": _v(cdw=True),
-    "cdw_flatadam_b96_k4": _v(cdw=True, opt="fused"),
-    "cdw_all_b96_k4": _v(cdw=True, opt="fused", impl="pallas"),
+    "cdw_b96_k4": _v(dw="custom"),
+    "cdw_flatadam_b96_k4": _v(dw="custom", opt="fused"),
+    "cdw_all_b96_k4": _v(dw="custom", opt="fused", impl="pallas"),
     # round-3 additions: dispatch-amortization and batch-size probes
     "base_b96_k8": _v(scan=8),
     "base_b96_k16": _v(scan=16),
@@ -85,6 +86,11 @@ VARIANTS = {
     "base_b96_k32": _v(scan=32),
     "base_b112_k16": _v(batch=112, scan=16),
     "base_b128_k16": _v(batch=128, scan=16),
+    # round-5: Pallas dW kernel (ops/pallas/dw_conv.py) vs the landed
+    # bits8+scan16 config -- the last route to the >=240 p/s north star
+    # (30.8 ms/step of XLA dW layout copies, BENCHMARKS.md round-4)
+    "pdw_b96_k16": _v(dw="pallas", impl="bits8", scan=16),
+    "drop8_base_b96_k16": _v(impl="bits8", scan=16),
     # CPU end-to-end smoke of the harness itself (not landable)
     "smoke_b2_k1": _v(batch=2, scan=1),
 }
@@ -137,7 +143,7 @@ def measure(tag: str, side: int, reps: int, trace_dir: str | None = None):
                  dropout_rate=v["rate"], activation="prelu", norm="batch",
                  dtype=jnp.bfloat16, conv_impl="packed",
                  packed_target_lanes=128, dropout_impl=v["impl"],
-                 custom_dw=v["cdw"])
+                 dw_impl=v["dw"])
 
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((batch, *patch, 1), jnp.float32)

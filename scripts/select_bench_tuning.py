@@ -25,9 +25,9 @@ TAG_TO_TUNING = {
     "pdrop_b96_k4": {"dropout_impl": "pallas"},
     "flatadam_b96_k4": {"opt": "fused"},
     "combo_pdrop_flatadam_b96_k4": {"dropout_impl": "pallas", "opt": "fused"},
-    "cdw_b96_k4": {"custom_dw": True},
-    "cdw_flatadam_b96_k4": {"custom_dw": True, "opt": "fused"},
-    "cdw_all_b96_k4": {"custom_dw": True, "opt": "fused",
+    "cdw_b96_k4": {"dw_impl": "custom"},
+    "cdw_flatadam_b96_k4": {"dw_impl": "custom", "opt": "fused"},
+    "cdw_all_b96_k4": {"dw_impl": "custom", "opt": "fused",
                        "dropout_impl": "pallas"},
     # round-3 tuning probes (scripts/experiments/ab_train.py additions)
     "base_b96_k8": {"scan": 8},
@@ -41,13 +41,17 @@ TAG_TO_TUNING = {
     "base_b96_k32": {"scan": 32},
     "base_b112_k16": {"batch": 112, "scan": 16},
     "base_b128_k16": {"batch": 128, "scan": 16},
+    # round-5: Pallas dW A/B at the landed config
+    "pdw_b96_k16": {"dw_impl": "pallas", "dropout_impl": "bits8",
+                    "scan": 16},
+    "drop8_base_b96_k16": {"dropout_impl": "bits8", "scan": 16},
 }
 
 
 def collect():
     results = {}
     for log in ("tmp/exp_r2b.log", "tmp/exp_r2e.log", "tmp/exp_r3tune.log",
-                "tmp/exp_r4tune.log"):
+                "tmp/exp_r4tune.log", "tmp/exp_r5tune.log"):
         path = os.path.join(REPO, log)
         if not os.path.exists(path):
             continue
@@ -75,7 +79,9 @@ def collect():
     # and the prior configs/bench_tuning.json _source block.
 RECORDED_FALLBACKS = {
     "base_b96_k4": 206.4,    # round-3 A/B base (BENCHMARKS.md round-3 table)
-    "base_b96_k16": 210.567,  # prior landed winner (bench_tuning.json)
+    "base_b96_k16": 210.567,  # round-4 base lineage (bench_tuning.json)
+    # round-4 landed winner (bench_tuning.json _source; BENCH_r04 214.978)
+    "drop8_b96_k16": 215.744,
 }
 
 
@@ -89,13 +95,15 @@ def main():
     if "base_b96_k4" not in results:
         print("no base measurement yet; not writing tuning", flush=True)
         return 1
-    # the bar is the best BASE-lineage measurement (plain base or the
-    # currently-landed tuning), not just the oldest base
-    base = max(results.get("base_b96_k4", 0.0),
-               results.get("base_b96_k16", 0.0))
-    base_tag = ("base_b96_k16"
-                if results.get("base_b96_k16", 0.0)
-                >= results.get("base_b96_k4", 0.0) else "base_b96_k4")
+    # the bar is the best INCUMBENT-lineage measurement: plain base,
+    # scan-tuned base, or the currently-landed winner (drop8_* are the
+    # round-4 landed bits8 config under its two tag spellings) — a new
+    # lever must beat whatever is already landed, not just stock xla
+    incumbents = ("base_b96_k4", "base_b96_k16",
+                  "drop8_b96_k16", "drop8_base_b96_k16")
+    base_tag = max((t for t in incumbents if t in results),
+                   key=lambda t: results[t])
+    base = results[base_tag]
     winner_tag, winner_pps = base_tag, base
     for tag, pps in results.items():
         if pps > winner_pps:
@@ -112,7 +120,8 @@ def main():
                          "patches_per_s": winner_pps,
                          "base_patches_per_s": base,
                          "logs": ["tmp/exp_r2b.log", "tmp/exp_r2e.log",
-                                  "tmp/exp_r3tune.log", "tmp/exp_r4tune.log"]}
+                                  "tmp/exp_r3tune.log", "tmp/exp_r4tune.log",
+                                  "tmp/exp_r5tune.log"]}
     if fellback:
         tuning["_source"]["recorded_fallbacks_used"] = fellback
     out = os.path.join(REPO, "configs", "bench_tuning.json")

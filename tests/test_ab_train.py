@@ -64,7 +64,7 @@ def test_selector_tags_consistent_with_harness():
         assert tuning.get("scan", 4) == v["scan"], tag
         assert tuning.get("dropout_impl", "xla") == v["impl"], tag
         assert tuning.get("opt", "adam") == v["opt"], tag
-        assert tuning.get("custom_dw", False) == v["cdw"], tag
+        assert tuning.get("dw_impl", "xla") == v["dw"], tag
     # the diagnostic bound must never be landable
     assert "nodrop_b96_k4" not in selector.TAG_TO_TUNING
     # every harness variant except diagnostics/smoke is selectable

@@ -75,8 +75,9 @@ def test_bfloat16_dtype_preserved():
 
 
 def test_vnet_custom_dw_matches_default():
-    """custom_dw is a pure autodiff rewrite: identical pytree, outputs,
-    and gradients for both conv_impl modes (architecture invariant)."""
+    """dw_impl is a pure autodiff rewrite: identical pytree, outputs,
+    and gradients for both conv_impl modes and both non-XLA dW
+    formulations (architecture invariant)."""
     from vnet_tpu.models import VNet
 
     x = jnp.asarray(np.random.default_rng(3).normal(
@@ -99,8 +100,10 @@ def test_vnet_custom_dw_matches_default():
     g_ref = jax.grad(lambda p: loss(ref, p))(variables["params"])
     g_scale = max(float(jnp.max(jnp.abs(l)))
                   for l in jax.tree_util.tree_leaves(g_ref))
-    for impl, lanes in (("packed", 128), ("direct", 0)):
-        m = build(conv_impl=impl, packed_target_lanes=lanes, custom_dw=True)
+    for impl, lanes, dw in (("packed", 128, "custom"),
+                            ("direct", 0, "custom"),
+                            ("packed", 128, "pallas")):
+        m = build(conv_impl=impl, packed_target_lanes=lanes, dw_impl=dw)
         v2 = m.init({"params": jax.random.PRNGKey(0)}, x, train=True)
         assert (jax.tree_util.tree_structure(v2["params"])
                 == jax.tree_util.tree_structure(variables["params"]))

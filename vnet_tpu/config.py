@@ -71,10 +71,12 @@ class NetworkConfig:
     # (AttentionVNet): trades recompute for live-activation memory in
     # the backward pass; identical math and parameter pytree
     remat: bool = False
-    # stride-1 block convs: explicit weight-gradient formulation avoiding
-    # XLA's conv_backprop_filter layout copies (ops/conv_vjp.py); exact
-    # rewrite — checkpoints interchange
-    custom_dw: bool = False
+    # stride-1 block convs' weight-gradient formulation: "xla" (the
+    # stock conv_backprop_filter), "custom" (explicit dot formulation,
+    # ops/conv_vjp.py — measured layout-neutral), or "pallas" (VMEM
+    # transposing hand kernel, ops/pallas/dw_conv.py). Exact rewrites —
+    # checkpoints interchange
+    dw_impl: str = "xla"
 
 
 @dataclass
@@ -232,7 +234,8 @@ def _network_config(tree: dict) -> NetworkConfig:
         packed_target_lanes=int(net.get("PackedTargetLanes", 128)),
         dropout_impl=str(net.get("DropoutImpl", "xla")),
         remat=bool(net.get("Remat", False)),
-        custom_dw=bool(net.get("CustomDw", False)),
+        dw_impl=str(net.get(
+            "DwImpl", "custom" if net.get("CustomDw", False) else "xla")),
     )
 
 

@@ -55,7 +55,7 @@ class Evaluator:
             norm=net_cfg.norm,
             packed_target_lanes=net_cfg.packed_target_lanes,
             legacy_double_norm=(net_cfg.name == "VNetLegacy"),
-            custom_dw=net_cfg.custom_dw, dtype=dtype)
+            dw_impl=net_cfg.dw_impl, dtype=dtype)
 
         if state is not None:
             self.variables = {"params": state.params,

@@ -50,7 +50,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                   conv_impl: str = "packed", packed_target_lanes: int = 128,
                   dropout_impl: str = "xla", remat: bool = False,
                   legacy_double_norm: bool = False,
-                  custom_dw: bool = False):
+                  dw_impl: str = "xla"):
     """Instantiate a network module from config values
     (`model.py:417-438`). The reference hardcodes relu for UNet and prelu
     for VNet — kept as defaults when ``activation`` is None."""
@@ -63,7 +63,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
         # these use flax dropout and plain convs; requesting a VNet-only
         # perf knob must not silently no-op
         unsupported = [k for k, on in (("DropoutImpl", dropout_impl != "xla"),
-                                       ("CustomDw", custom_dw),
+                                       ("DwImpl", dw_impl != "xla"),
                                        ("Remat", remat)) if on]
         if unsupported:
             import warnings
@@ -92,7 +92,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
             norm=norm, dtype=dtype, conv_impl=conv_impl,
             packed_target_lanes=packed_target_lanes,
             dropout_impl=dropout_impl, remat=remat,
-            legacy_double_norm=legacy_double_norm, custom_dw=custom_dw)
+            legacy_double_norm=legacy_double_norm, dw_impl=dw_impl)
     return VNet(num_classes=num_classes, num_channels=num_channels,
                 num_levels=num_levels,
                 num_convolutions=tuple(num_convolutions),
@@ -103,7 +103,7 @@ def build_network(name: str, *, num_classes: int, dropout_rate: float = 0.01,
                 dropout_impl=dropout_impl, remat=remat,
                 legacy_double_norm=(legacy_double_norm
                                     or name == "VNetLegacy"),
-                custom_dw=custom_dw)
+                dw_impl=dw_impl)
 
 
 __all__ = [

@@ -172,7 +172,7 @@ class AttentionGatedVNet(nn.Module):
     # the gate on the LEGACY VNet.py, whose blocks double-norm around the
     # residual add — see vnet.ConvBlock.legacy_double_norm)
     legacy_double_norm: bool = False
-    custom_dw: bool = False  # see ops/conv_vjp.py
+    dw_impl: str = "xla"  # see ops/conv_vjp.py, ops/pallas/dw_conv.py
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -192,7 +192,7 @@ class AttentionGatedVNet(nn.Module):
             dropout_impl=self.dropout_impl,
             remat=self.remat,
             legacy_double_norm=self.legacy_double_norm,
-            custom_dw=self.custom_dw,
+            dw_impl=self.dw_impl,
             name="vnet")
         logits_vnet = backbone(x, train)
 

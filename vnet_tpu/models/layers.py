@@ -333,9 +333,10 @@ class SpatialConv(nn.Module):
     # per-axis packing of the packed domain (None = all axes factor 2);
     # see ops/s2d.py module docstring on the per-level FLOP-tax tradeoff
     packed_factors: Optional[tuple] = None
-    # stride-1 convs: explicit weight-gradient formulation avoiding XLA's
-    # conv_backprop_filter layout copies (ops/conv_vjp.py); identical math
-    custom_dw: bool = False
+    # stride-1 convs' weight-gradient formulation: "xla" | "custom"
+    # (explicit dot dW, ops/conv_vjp.py) | "pallas" (VMEM-transposing
+    # kernel, ops/pallas/dw_conv.py); identical math
+    dw_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x):
@@ -383,7 +384,7 @@ class SpatialConv(nn.Module):
                 y = packed_conv(x, kernel_c, halo=_partition(),
                                 input_splits=self.packed_input_splits,
                                 factors=self.packed_factors,
-                                custom_dw=self.custom_dw)
+                                dw_impl=self.dw_impl)
             if bias is not None:
                 y = y + jnp.tile(bias.astype(compute_dtype), groups)
             return y
@@ -449,7 +450,11 @@ class SpatialConv(nn.Module):
                     y = jax.lax.conv_general_dilated(
                         xh, kernel_c, strides, pads,
                         dimension_numbers=dims)
-            elif self.custom_dw and strides == (1,) * rank:
+            elif self.dw_impl == "pallas" and strides == (1,) * rank:
+                from ..ops.conv_vjp import same_pads
+                from ..ops.pallas.dw_conv import conv_pallas_dw
+                y = conv_pallas_dw(x, kernel_c, same_pads(k))
+            elif self.dw_impl == "custom" and strides == (1,) * rank:
                 from ..ops.conv_vjp import conv_custom_dw, same_pads
                 y = conv_custom_dw(x, kernel_c, same_pads(k))
             else:
@@ -465,7 +470,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
          name: Optional[str] = None, use_bias: bool = True,
          impl: str = "direct", packed: bool = False,
          packed_input_splits=None, packed_factors=None,
-         custom_dw: bool = False) -> SpatialConv:
+         dw_impl: str = "xla") -> SpatialConv:
     """SAME ``spatial_rank``-D convolution with Xavier-uniform init and zero
     bias (`layers2.py:59-63`)."""
     if isinstance(kernel, int):
@@ -481,7 +486,7 @@ def conv(features: int, kernel: Sequence[int] | int, spatial_rank: int,
         packed=packed,
         packed_input_splits=packed_input_splits,
         packed_factors=packed_factors,
-        custom_dw=custom_dw,
+        dw_impl=dw_impl,
         name=name,
     )
 

@@ -85,7 +85,7 @@ class ConvBlock(nn.Module):
     unpack_output: bool = True
     packed_factors: Optional[tuple] = None
     legacy_double_norm: bool = False
-    custom_dw: bool = False  # see ops/conv_vjp.py
+    dw_impl: str = "xla"  # see ops/conv_vjp.py, ops/pallas/dw_conv.py
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -105,7 +105,7 @@ class ConvBlock(nn.Module):
                 x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                          packed=True, packed_factors=factors,
-                         custom_dw=self.custom_dw)(x)
+                         dw_impl=self.dw_impl)(x)
                 if self.legacy_double_norm:
                     x = Norm(self.norm, self.dtype, self.param_dtype, groups,
                              name=f"pre_norm_{i + 1}")(x, train)
@@ -126,7 +126,7 @@ class ConvBlock(nn.Module):
         for i in range(self.num_convolutions):
             x = conv(ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                     impl=impl, custom_dw=self.custom_dw)(x)
+                     impl=impl, dw_impl=self.dw_impl)(x)
             if self.legacy_double_norm:
                 x = Norm(self.norm, self.dtype, self.param_dtype,
                          name=f"pre_norm_{i + 1}")(x, train)
@@ -165,7 +165,7 @@ class DecoderConvBlock(nn.Module):
     unpack_output: bool = True
     packed_factors: Optional[tuple] = None
     legacy_double_norm: bool = False
-    custom_dw: bool = False  # see ops/conv_vjp.py
+    dw_impl: str = "xla"  # see ops/conv_vjp.py, ops/pallas/dw_conv.py
 
     def _pre_norm(self, i: int) -> bool:
         # legacy applies the extra pre-residual norm on every conv except
@@ -198,7 +198,7 @@ class DecoderConvBlock(nn.Module):
                          param_dtype=self.param_dtype, name=f"conv_{i + 1}",
                          packed=True, packed_factors=factors,
                          packed_input_splits=(ch, ch) if i == 0 else None,
-                         custom_dw=self.custom_dw)(x)
+                         dw_impl=self.dw_impl)(x)
                 if self._pre_norm(i):
                     x = Norm(self.norm, self.dtype, self.param_dtype, groups,
                              name=f"pre_norm_{i + 1}")(x, train)
@@ -227,7 +227,7 @@ class DecoderConvBlock(nn.Module):
             out_ch = ch
             x = conv(out_ch, self.kernel_size, rank, dtype=self.dtype,
                      param_dtype=self.param_dtype, name=f"conv_{i + 1}",
-                     impl=impl, custom_dw=self.custom_dw)(x)
+                     impl=impl, dw_impl=self.dw_impl)(x)
             if self._pre_norm(i):
                 x = Norm(self.norm, self.dtype, self.param_dtype,
                          name=f"pre_norm_{i + 1}")(x, train)
@@ -281,7 +281,7 @@ class VNet(nn.Module):
     legacy_double_norm: bool = False
     # stride-1 block convs: custom weight-gradient formulation avoiding
     # conv_backprop_filter layout copies (ops/conv_vjp.py); identical math
-    custom_dw: bool = False
+    dw_impl: str = "xla"
     # rematerialize conv blocks in the backward pass: activations inside a
     # block are recomputed instead of saved, trading FLOPs for memory
     # (large patches / deep configs) and shrinking the autodiff graph.
@@ -371,7 +371,7 @@ class VNet(nn.Module):
                           packed_mode=enc_p,
                           unpack_output=not enc_p, packed_factors=enc_f,
                           legacy_double_norm=self.legacy_double_norm,
-                          custom_dw=self.custom_dw,
+                          dw_impl=self.dw_impl,
                           name=f"encoder_level_{level + 1}")(x, train)
             skips.append((x, enc_p, enc_f))
             x = DownConv(2, self.norm, self.activation, self.dtype,
@@ -388,7 +388,7 @@ class VNet(nn.Module):
                       dropout_impl=self.dropout_impl,
                       packed_mode=bot_p, packed_factors=bot_f,
                       legacy_double_norm=self.legacy_double_norm,
-                      custom_dw=self.custom_dw,
+                      dw_impl=self.dw_impl,
                       name="bottom")(x, train)
 
         # decoder (networks.py:285-296)
@@ -420,7 +420,7 @@ class VNet(nn.Module):
                                  unpack_output=not keep_packed,
                                  packed_factors=dec_f if dec_p else skip_f,
                                  legacy_double_norm=self.legacy_double_norm,
-                                 custom_dw=self.custom_dw,
+                                 dw_impl=self.dw_impl,
                                  name=f"decoder_level_{level + 1}")(
                                      x, skip, train)
             if level == 0:

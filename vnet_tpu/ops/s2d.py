@@ -250,7 +250,7 @@ def packed_pads(k: int, factors) -> list:
 def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
                 preferred_element_type=None, halo=None,
                 input_splits=None, factors=None,
-                custom_dw: bool = False) -> jnp.ndarray:
+                dw_impl: str = "xla") -> jnp.ndarray:
     """Conv on an ALREADY-packed tensor: ``s2d(conv(d2s(xp), kernel))``
     without the transposes. ``xp`` is ``(B, *spatial/f, G * Cin)``
     offset-major; ``kernel`` the original ``(k..., Cin, Cout)``.
@@ -263,11 +263,12 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
     ``input_splits``: ``xp`` is a flat channel concat of separately-packed
     tensors — see :func:`pack_kernel`.
 
-    ``custom_dw``: route through
-    :func:`vnet_tpu.ops.conv_vjp.conv_custom_dw` — identical math with an
-    explicitly-formulated weight gradient that avoids XLA's
-    conv_backprop_filter layout copies (only when no
-    ``preferred_element_type`` is requested).
+    ``dw_impl``: weight-gradient formulation — "custom" routes through
+    :func:`vnet_tpu.ops.conv_vjp.conv_custom_dw` (explicit dot dW),
+    "pallas" through :func:`vnet_tpu.ops.pallas.dw_conv.conv_pallas_dw`
+    (VMEM-transposing hand kernel for the lane-aligned hot convs, XLA
+    fallback out of scope). Identical math; only honored when no
+    ``preferred_element_type`` is requested.
     """
     rank = kernel.ndim - 2
     k = kernel.shape[0]
@@ -281,7 +282,10 @@ def packed_conv(xp: jnp.ndarray, kernel: jnp.ndarray,
         lo, hi = pads[sp_axis]
         xp = halo_exchange_asym(xp, lo, hi, axis_name, 1 + sp_axis)
         pads[sp_axis] = (0, 0)
-    if custom_dw and preferred_element_type is None:
+    if dw_impl == "pallas" and preferred_element_type is None:
+        from .pallas.dw_conv import conv_pallas_dw
+        return conv_pallas_dw(xp, packed, tuple(pads)).astype(xp.dtype)
+    if dw_impl == "custom" and preferred_element_type is None:
         from .conv_vjp import conv_custom_dw
         return conv_custom_dw(xp, packed, tuple(pads)).astype(xp.dtype)
     return jax.lax.conv_general_dilated(
