@@ -73,8 +73,8 @@ def _run():
     channels = int(os.environ.get("VNET_BENCH_CHANNELS", 16))
     dropout_impl = os.environ.get("VNET_BENCH_DROPOUT_IMPL",
                                   tuning.get("dropout_impl", "xla"))
-    opt_name = os.environ.get("VNET_BENCH_OPT",
-                              tuning.get("opt", "adam"))  # adam | fused
+    opt_name = os.environ.get(
+        "VNET_BENCH_OPT", tuning.get("opt", "adam"))  # adam | fused | flat
     dw_impl = os.environ.get(
         "VNET_BENCH_DW_IMPL",
         tuning.get("dw_impl",
@@ -109,21 +109,39 @@ def _run():
     labels = device_put_chunked(
         host.integers(0, num_classes, size=(batch, *patch)).astype(np.int32))
 
-    def train_step(carry, step_rng):
-        params, batch_stats, opt_state = carry
+    def loss_of(p, batch_stats, step_rng):
+        out, mutated = model.apply(
+            {"params": p, "batch_stats": batch_stats}, images, train=True,
+            rngs={"dropout": step_rng}, mutable=["batch_stats"])
+        loss, _ = segmentation_loss(out, labels, name="weighted_sorensen",
+                                    num_classes=num_classes, weights=weights)
+        return loss, mutated["batch_stats"]
 
-        def loss_fn(p):
-            out, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats}, images, train=True,
-                rngs={"dropout": step_rng}, mutable=["batch_stats"])
-            loss, _ = segmentation_loss(out, labels, name="weighted_sorensen",
-                                        num_classes=num_classes,
-                                        weights=weights)
-            return loss, mutated["batch_stats"]
+    if opt_name == "flat":
+        # permanently-flat train state (train/optim.py FlatAdamCarry)
+        from vnet_tpu.train.optim import flat_adam_init, flat_adam_step
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_bs, new_opt), loss
+        fc0, unravel = flat_adam_init(variables["params"])
+
+        def train_step(carry, step_rng):
+            fc, batch_stats = carry
+            (loss, new_bs), gflat = jax.value_and_grad(
+                lambda pf: loss_of(unravel(pf), batch_stats, step_rng),
+                has_aux=True)(fc.flat)
+            return (flat_adam_step(fc, gflat, schedule), new_bs), loss
+
+        carry = (fc0, variables["batch_stats"])
+    else:
+        def train_step(carry, step_rng):
+            params, batch_stats, opt_state = carry
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params, batch_stats, step_rng)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs,
+                    new_opt), loss
+
+        carry = (variables["params"], variables["batch_stats"],
+                 tx.init(variables["params"]))
 
     # donated carry: in-place parameter/optimizer updates (matches the
     # Trainer's jit; measured +0.8% and halves state memory)
@@ -133,8 +151,6 @@ def _run():
         return carry, losses[-1]
 
     key = jax.random.key(1, impl="rbg")
-    carry = (variables["params"], variables["batch_stats"],
-             tx.init(variables["params"]))
 
     carry, loss = run_block(carry, jax.random.split(key, scan_k))
     float(loss)  # compile + full sync

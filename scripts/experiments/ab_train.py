@@ -91,8 +91,12 @@ VARIANTS = {
     # (30.8 ms/step of XLA dW layout copies, BENCHMARKS.md round-4)
     "pdw_b96_k16": _v(dw="pallas", impl="bits8", scan=16),
     "drop8_base_b96_k16": _v(impl="bits8", scan=16),
+    # round-5: permanently-flat optimizer state (optim.FlatAdamCarry) —
+    # the only route to the 13.5 ms per-tensor optimizer tail
+    "flatstate_b96_k16": _v(opt="flat", impl="bits8", scan=16),
     # CPU end-to-end smoke of the harness itself (not landable)
     "smoke_b2_k1": _v(batch=2, scan=1),
+    "smoke_flat_b2_k1": _v(opt="flat", batch=2, scan=1),
 }
 
 
@@ -161,21 +165,42 @@ def measure(tag: str, side: int, reps: int, trace_dir: str | None = None):
     labels = _device_put_chunked(
         host.integers(0, num_classes, size=(batch, *patch)).astype(np.int32))
 
-    def train_step(carry, step_rng):
-        params, batch_stats, opt_state = carry
+    def loss_of(p, batch_stats, step_rng):
+        out, mutated = model.apply(
+            {"params": p, "batch_stats": batch_stats}, images, train=True,
+            rngs={"dropout": step_rng}, mutable=["batch_stats"])
+        loss, _ = segmentation_loss(out, labels, name="weighted_sorensen",
+                                    num_classes=num_classes,
+                                    weights=weights)
+        return loss, mutated["batch_stats"]
 
-        def loss_fn(p):
-            out, mutated = model.apply(
-                {"params": p, "batch_stats": batch_stats}, images, train=True,
-                rngs={"dropout": step_rng}, mutable=["batch_stats"])
-            loss, _ = segmentation_loss(out, labels, name="weighted_sorensen",
-                                        num_classes=num_classes,
-                                        weights=weights)
-            return loss, mutated["batch_stats"]
+    if v["opt"] == "flat":
+        # permanently-flat train state (optim.py FlatAdamCarry): grads
+        # arrive flat from the vjp, Adam runs flat, params stay flat —
+        # the repack that nulled fused_adam's win never happens
+        from vnet_tpu.train.optim import flat_adam_init, flat_adam_step
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, new_opt = tx.update(grads, opt_state, params)
-        return (optax.apply_updates(params, updates), new_bs, new_opt), loss
+        fc0, unravel = flat_adam_init(variables["params"])
+
+        def train_step(carry, step_rng):
+            fc, batch_stats = carry
+            (loss, new_bs), gflat = jax.value_and_grad(
+                lambda pf: loss_of(unravel(pf), batch_stats, step_rng),
+                has_aux=True)(fc.flat)
+            return (flat_adam_step(fc, gflat, schedule), new_bs), loss
+
+        carry0 = (fc0, variables["batch_stats"])
+    else:
+        def train_step(carry, step_rng):
+            params, batch_stats, opt_state = carry
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params, batch_stats, step_rng)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_bs,
+                    new_opt), loss
+
+        carry0 = (variables["params"], variables["batch_stats"],
+                  tx.init(variables["params"]))
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_block(carry, keys):
@@ -183,8 +208,7 @@ def measure(tag: str, side: int, reps: int, trace_dir: str | None = None):
         return carry, losses[-1]
 
     key = jax.random.key(1, impl="rbg")
-    carry = (variables["params"], variables["batch_stats"],
-             tx.init(variables["params"]))
+    carry = carry0
 
     t0 = time.perf_counter()
     carry, loss = run_block(carry, jax.random.split(key, scan_k))

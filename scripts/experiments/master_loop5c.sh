@@ -1,0 +1,112 @@
+#!/bin/bash
+# Round-5 TPU queue, third revision (supersedes master_loop5b.sh; adds
+# the q2d2 re-run after the part-2 diagnosis: EMA vs batch-stats eval
+# gap + class-2 exposure starvation — BENCHMARKS.md):
+#
+#   qmm-wait — adopt the in-flight multimodal quality run (started by
+#              master_loop5.sh; its python pid is passed as $1), copy
+#              its log into records/ when it exits.
+#   attn     — attention-gated quality (VERDICT item 2): bits8 HBM-fit
+#              + 6000-step train + dual EMA/batch_stats eval.
+#   pdw      — Pallas dW kernel A/B at the landed config (VERDICT item
+#              4, the only remaining route to >=240 p/s), then land the
+#              winner via the >1% selector.
+#   q3s2     — quality3 reproducibility at a second seed (VERDICT 7).
+#   bench    — bench.py pass to re-warm the driver's compile cache.
+#
+# Same discipline as master_loop5.sh: child process per stage, logs
+# copied out of volatile tmp/ after every attempt, bounded retries.
+#
+#   nohup bash scripts/experiments/master_loop5b.sh <qmm_pid> \
+#       > tmp/master_loop5b.log 2>&1 &
+#   echo $! > tmp/master_loop5b.pid
+set -u
+cd "$(dirname "$0")/../.." || exit 1
+mkdir -p tmp records/round5
+
+QMM_PID=${1:-}
+RETRY_SLEEP=${RETRY_SLEEP:-120}
+
+# --- adopt the in-flight qmm run -------------------------------------
+if [ -n "$QMM_PID" ] && [ ! -f tmp/done5_qmm ]; then
+    echo "=== waiting on in-flight qmm (pid $QMM_PID) $(date -u +%H:%M:%S) ==="
+    while kill -0 "$QMM_PID" 2>/dev/null; do sleep 30; done
+    cp tmp/stage5_qmm.log records/round5/stage5_qmm.log 2>/dev/null
+    if grep -q "evaluated .* case" tmp/stage5_qmm.log 2>/dev/null; then
+        touch tmp/done5_qmm
+        echo "=== qmm OK $(date -u +%H:%M:%S) ==="
+    else
+        echo "=== qmm INCOMPLETE $(date -u +%H:%M:%S) (will retry) ==="
+    fi
+fi
+
+run_stage() {  # run_stage <name> <timeout_s> <cmd...>
+    local name=$1 tmo=$2; shift 2
+    [ -f "tmp/done5_$name" ] && return 0
+    echo "=== stage $name START $(date -u +%H:%M:%S) ==="
+    timeout "$tmo" "$@" >> "tmp/stage5_$name.log" 2>&1
+    local rc=$?
+    cp "tmp/stage5_$name.log" "records/round5/stage5_$name.log" 2>/dev/null
+    if [ $rc -eq 0 ]; then
+        touch "tmp/done5_$name"
+        echo "=== stage $name OK $(date -u +%H:%M:%S) ==="
+    else
+        echo "=== stage $name rc=$rc $(date -u +%H:%M:%S) ==="
+    fi
+    return $rc
+}
+
+pdw_stage() {
+    # A/B needs BOTH rows (candidate + same-session incumbent re-measure)
+    # before the selector adjudicates; ab_train is idempotent per tag.
+    python scripts/experiments/ab_train.py --log tmp/exp_r5tune.log \
+        drop8_base_b96_k16 pdw_b96_k16 || return $?
+    cp tmp/exp_r5tune.log records/round5/exp_r5tune.log 2>/dev/null
+    python scripts/select_bench_tuning.py
+}
+
+for iter in $(seq 1 8); do
+    echo "--- queue5c pass $iter $(date -u) ---"
+
+    run_stage attn 10800 python scripts/experiments/attn_quality.py \
+        --workdir tmp/r5_attn --steps 6000
+
+    run_stage pdw 5400 bash -c \
+        "$(declare -f pdw_stage); pdw_stage"
+
+    # 2D re-run at the diagnosed recipe: min_pixel 4 / drop 0.05 puts
+    # both-class slices in the majority of the inventory (the failing
+    # runs' min_pixel 32 left the median inventory slice with ZERO
+    # class-2 pixels); 6000 steps matches the 3D quality3 recipe;
+    # quickstart --rank2 now reports BOTH eval-norm modes.
+    run_stage q2d2 9000 python scripts/quickstart.py --rank2 \
+        --steps 6000 --workdir tmp/r5_q2d2 \
+        --n-train 64 --augment --drop-ratio 0.05 --min-pixel 4
+
+    run_stage qmm 10800 python scripts/quickstart.py --multimodal \
+        --steps 6000 --workdir tmp/r5_qmm \
+        --n-train 64 --augment --drop-ratio 0.3 --min-pixel 32
+
+    run_stage q3s2 10800 python scripts/quickstart.py \
+        --steps 6000 --workdir tmp/r5_q3s2 --seed 1337 \
+        --n-train 64 --augment --drop-ratio 0.3 --min-pixel 32
+
+    if [ -f tmp/done5_attn ] && [ -f tmp/done5_pdw ] && \
+       [ -f tmp/done5_q2d2 ] && \
+       [ -f tmp/done5_qmm ] && [ -f tmp/done5_q3s2 ]; then
+        run_stage bench 1800 python bench.py
+    fi
+
+    need=0
+    for s in attn pdw q2d2 qmm q3s2 bench; do
+        [ -f "tmp/done5_$s" ] || need=1
+    done
+    if [ $need -eq 0 ]; then
+        echo "queue5c COMPLETE $(date -u)"
+        exit 0
+    fi
+    echo "pass $iter incomplete; sleeping $RETRY_SLEEP"
+    sleep "$RETRY_SLEEP"
+done
+echo "queue5c EXHAUSTED RETRIES $(date -u)"
+exit 1

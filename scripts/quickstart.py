@@ -294,16 +294,31 @@ def main(argv=None):
     state = trainer.train()
     print("training done", flush=True)
 
-    ev = Evaluator(cfg, state=state)
-    results = ev.evaluate()
-    print(f"evaluated {len(results)} case(s)", flush=True)
-    for pred_path in results:
-        case_dir = os.path.dirname(pred_path)
-        truth = np.asarray(read_image(os.path.join(case_dir, "label.nii")).data)
-        pred = np.asarray(read_image(pred_path).data)
-        d = dice_per_class(pred, truth, 3)
-        print(f"{os.path.basename(case_dir)}: dice per class "
-              f"{[round(float(x), 3) for x in d]}", flush=True)
+    def run_eval(cfg, tag=""):
+        ev = Evaluator(cfg, state=state)
+        results = ev.evaluate()
+        print(f"evaluated {len(results)} case(s){tag}", flush=True)
+        for pred_path in results:
+            case_dir = os.path.dirname(pred_path)
+            truth = np.asarray(
+                read_image(os.path.join(case_dir, "label.nii")).data)
+            pred = np.asarray(read_image(pred_path).data)
+            d = dice_per_class(pred, truth, 3)
+            print(f"{os.path.basename(case_dir)}{tag}: dice per class "
+                  f"{[round(float(x), 3) for x in d]}", flush=True)
+
+    if args.rank2:
+        # dual eval: 2D slice-stacked eval is BN-composition-sensitive in
+        # the OPPOSITE direction from 3D patch eval (batch-stats eval of
+        # a mostly-empty volume stack collapses the fg classes while EMA
+        # holds — BENCHMARKS.md round-5 2D diagnosis part 2); report both
+        import dataclasses
+        run_eval(cfg, tag=" [batch_stats]")
+        cfg_ema = dataclasses.replace(
+            cfg, evaluate=dataclasses.replace(cfg.evaluate, eval_norm="ema"))
+        run_eval(cfg_ema, tag=" [ema]")
+    else:
+        run_eval(cfg)
     return 0
 
 

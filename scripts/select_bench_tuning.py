@@ -45,6 +45,8 @@ TAG_TO_TUNING = {
     "pdw_b96_k16": {"dw_impl": "pallas", "dropout_impl": "bits8",
                     "scan": 16},
     "drop8_base_b96_k16": {"dropout_impl": "bits8", "scan": 16},
+    "flatstate_b96_k16": {"opt": "flat", "dropout_impl": "bits8",
+                          "scan": 16},
 }
 
 

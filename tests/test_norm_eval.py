@@ -43,6 +43,75 @@ def test_config_default_norm_is_batch_stats():
     assert cfg.train.network.norm == "batch_stats"
 
 
+def test_config_eval_norm_knob():
+    """EvaluationSetting.EvalNorm: 'network' default, 'ema' accepted,
+    anything else rejected (round-5 2D finding: slice-stacked eval needs
+    EMA statistics — BENCHMARKS.md round-5 2D diagnosis part 2)."""
+    base = {
+        "TrainingSetting": {
+            "Data": {"TrainingDataDirectory": ".", "TestingDataDirectory": ".",
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "label.nii"},
+            "SegmentationClasses": [0, 1],
+            "PatchShape": [16, 16, 16],
+            "Networks": {"Name": "VNet"},
+        }}
+    assert parse_config(base).evaluate.eval_norm == "network"
+    base["EvaluationSetting"] = {"EvalNorm": "ema"}
+    assert parse_config(base).evaluate.eval_norm == "ema"
+    base["EvaluationSetting"] = {"EvalNorm": "bogus"}
+    with pytest.raises(Exception):
+        parse_config(base)
+
+
+def test_evaluator_ema_norm_builds_batch_kind(tmp_path):
+    """EvalNorm 'ema' rebuilds the eval network with norm='batch' (flax
+    running averages at train=False); 'network' keeps batch_stats. Same
+    checkpoint variables serve both."""
+    import dataclasses
+    from vnet_tpu.infer import Evaluator
+    from vnet_tpu.train.trainer import TrainState
+
+    cfg = parse_config({
+        "TrainingSetting": {
+            "Data": {"TrainingDataDirectory": str(tmp_path),
+                     "TestingDataDirectory": str(tmp_path),
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "label.nii"},
+            "SegmentationClasses": [0, 1],
+            "PatchShape": [16, 16, 16],
+            "Networks": {"Name": "VNet", "NumChannel": 4, "NumLevels": 2,
+                         "NumConvolutions": [1, 1],
+                         "BottomConvolutions": 1},
+        },
+        "EvaluationSetting": {
+            "Data": {"EvaluateDataDirectory": str(tmp_path),
+                     "ImageFilenames": ["image.nii"],
+                     "LabelFilename": "pred.nii.gz"},
+            "Stride": [16, 16, 16],
+        }})
+    net = build_network("VNet", num_classes=2, num_channels=4, num_levels=2,
+                        num_convolutions=(1, 1), bottom_convolutions=1,
+                        dropout_rate=0.0)
+    variables, _ = _init(net)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       epoch=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None)
+    ev = Evaluator(cfg, state=state)
+    assert ev.network.norm == "batch_stats"
+    cfg_ema = dataclasses.replace(
+        cfg, evaluate=dataclasses.replace(cfg.evaluate, eval_norm="ema"))
+    ev2 = Evaluator(cfg_ema, state=state)
+    assert ev2.network.norm == "batch"
+    # both apply cleanly with the same variables
+    x = jnp.zeros((1, 16, 16, 16, 1), jnp.float32)
+    y1 = eval_apply(ev.network, ev.variables, x)
+    y2 = eval_apply(ev2.network, ev2.variables, x)
+    assert y1.shape == y2.shape
+
+
 def test_eval_apply_batch_stats_runs_without_mutable_error():
     net = build_network("VNet", norm="batch_stats", **TINY)
     variables, x = _init(net)

@@ -67,6 +67,47 @@ def test_fused_adam_under_jit_and_scan():
                for l in jax.tree.leaves(p))
 
 
+def test_flat_adam_matches_optax_adam_trajectory():
+    """The permanently-flat train state (FlatAdamCarry) follows the exact
+    optax.adam trajectory: differentiating w.r.t. the flat vector and
+    updating flat must equal per-tensor Adam on the pytree."""
+    from vnet_tpu.train.optim import flat_adam_init, flat_adam_step
+
+    rng = np.random.default_rng(2)
+    params = _tree(rng)
+    sched = optax.exponential_decay(1e-2, 10, 0.5)
+
+    def loss(p, x):
+        h = jnp.tanh(p["a"] @ x)                      # (5,)
+        w = p["b"]["w"].reshape(4, 4) @ h[:4]
+        return jnp.sum((w + p["b"]["bias"]) ** 2)
+
+    ref = optax.adam(sched)
+    s_ref = ref.init(params)
+    fc, unravel = flat_adam_init(params)
+
+    @jax.jit
+    def run_flat(fc, xs):
+        def body(c, x):
+            g = jax.grad(lambda pf: loss(unravel(pf), x))(c.flat)
+            return flat_adam_step(c, g, sched), jnp.float32(0)
+        c, _ = jax.lax.scan(body, fc, xs)
+        return c
+
+    xs = jnp.asarray(rng.normal(size=(4, 3)).astype(np.float32))
+    fc = run_flat(fc, xs)
+    p_ref = params
+    for i in range(4):
+        g = jax.grad(loss)(p_ref, xs[i])
+        u, s_ref = ref.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u)
+    got = unravel(fc.flat)
+    diffs = jax.tree.map(lambda x, y: float(jnp.max(jnp.abs(x - y))),
+                         got, p_ref)
+    assert int(fc.count) == 4
+    assert max(jax.tree.leaves(diffs)) < 5e-6, diffs
+
+
 def test_build_optimizer_fused_name():
     from vnet_tpu.config import OptimizerConfig
     cfg = OptimizerConfig(name="FusedAdam", initial_learning_rate=1e-3,

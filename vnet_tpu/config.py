@@ -207,6 +207,17 @@ class EvaluationConfig:
     # (`/root/reference/evaluate.py:316-323`); applied only when
     # volume_threshold > 0, matching the reference's guard
     mask_probability_with_label: bool = False
+    # BN statistics source at inference: "network" = the network's own
+    # norm kind (default "batch_stats" = the reference's
+    # train_phase=True-at-inference semantics, model.py:917);
+    # "ema" = the training-run running averages (flax use_running_average)
+    # — measured ESSENTIAL for 2D slice-stacked eval, where the eval
+    # batch (a whole volume, mostly empty slices) is far from the
+    # fg-biased training batch composition and live batch statistics
+    # collapse the foreground classes (BENCHMARKS.md round-5 2D
+    # diagnosis part 2: class-2 Dice 0.003 batch-stats vs 0.704 ema on
+    # the same checkpoint). The two modes share one checkpoint format.
+    eval_norm: str = "network"
 
 
 @dataclass
@@ -327,8 +338,12 @@ def parse_config(tree: dict) -> Config:
         pipeline_path=es.get("Pipeline", train.pipeline_path),
         gaussian_blend=bool(es.get("GaussianBlend", False)),
         blend_impl=str(es.get("BlendImpl", "auto")),
+        eval_norm=str(es.get("EvalNorm", "network")),
     )
 
+    if evaluate.eval_norm not in ("network", "ema"):
+        raise ConfigError("EvaluationSetting.EvalNorm must be "
+                          "'network' or 'ema'")
     if len(evaluate.stride) != len(patch_shape):
         raise ConfigError("EvaluationSetting.Stride rank must match PatchShape")
 

@@ -47,12 +47,20 @@ class Evaluator:
         name = "AttentionVNet" if net_cfg.attention else net_cfg.name
         self.is_attention = name == "AttentionVNet"
         dtype = jnp.bfloat16 if self.t.precision == "bfloat16" else jnp.float32
+        # EvalNorm "ema": evaluate under the training-run running averages
+        # instead of live batch statistics (same checkpoint; norm="batch"
+        # at train=False IS flax's use_running_average path). Measured
+        # essential for 2D slice-stacked eval — see config.EvaluationConfig
+        norm = net_cfg.norm
+        if (self.e.eval_norm == "ema"
+                and norm in ("batch", "batch_stats")):
+            norm = "batch"
         self.network = build_network(
             name, num_classes=self.t.num_classes, dropout_rate=0.0,
             num_channels=net_cfg.num_channel, num_levels=net_cfg.num_levels,
             num_convolutions=net_cfg.num_convolutions,
             bottom_convolutions=net_cfg.bottom_convolutions,
-            norm=net_cfg.norm,
+            norm=norm,
             packed_target_lanes=net_cfg.packed_target_lanes,
             legacy_double_norm=(net_cfg.name == "VNetLegacy"),
             dw_impl=net_cfg.dw_impl, dtype=dtype)

@@ -66,6 +66,58 @@ def fused_adam(learning_rate, b1: float = 0.9, b2: float = 0.999,
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class FlatAdamCarry(NamedTuple):
+    """Adam whose PARAMETER state is the flat vector itself.
+
+    ``fused_adam`` proved the flat update is the right shape (~3.4 ms vs
+    13.5 ms per-tensor at the production config) but repacking the ~40
+    parameter tensors around it costs the win back (BENCHMARKS.md
+    "Round-4 lever-by-lever verdicts"). The only route to keeping it is
+    for the TRAINING state to live flat permanently: differentiate the
+    loss w.r.t. the flat vector directly (the unflatten becomes slices
+    inside the traced forward — views of one contiguous buffer — and its
+    transpose writes gradient pieces into one flat cotangent), then the
+    whole optimizer is four fused element-wise ops over three flat
+    buffers with NO scatter/gather. Checkpoints still save/restore the
+    pytree form (unflatten at the host boundary), so the architecture
+    invariant — identical parameter pytrees across perf modes — holds.
+    """
+
+    flat: jnp.ndarray   # flat parameters (the train state)
+    count: jnp.ndarray  # int32 step counter
+    m: jnp.ndarray      # flat first moment
+    v: jnp.ndarray      # flat second moment
+
+
+def flat_adam_init(params):
+    """Returns ``(FlatAdamCarry, unravel)`` for a parameter pytree.
+
+    ``unravel`` is a static host-side closure (safe to capture in jit);
+    the carry holds only arrays, so it scans/donates cleanly."""
+    flat, unravel = ravel_pytree(params)
+    carry = FlatAdamCarry(flat=flat, count=jnp.zeros((), jnp.int32),
+                          m=jnp.zeros_like(flat), v=jnp.zeros_like(flat))
+    return carry, unravel
+
+
+def flat_adam_step(carry: FlatAdamCarry, grad_flat: jnp.ndarray,
+                   learning_rate, b1: float = 0.9, b2: float = 0.999,
+                   eps: float = 1e-8) -> FlatAdamCarry:
+    """One Adam step over the flat state. Identical hyperparameter
+    semantics to ``optax.adam``/``fused_adam`` (schedule evaluated at the
+    pre-increment count; bias correction; eps after sqrt)."""
+    count = carry.count + 1
+    m = b1 * carry.m + (1.0 - b1) * grad_flat
+    v = b2 * carry.v + (1.0 - b2) * (grad_flat * grad_flat)
+    t = count.astype(jnp.float32)
+    mhat = m / (1.0 - jnp.power(b1, t))
+    vhat = v / (1.0 - jnp.power(b2, t))
+    lr = (learning_rate(carry.count) if callable(learning_rate)
+          else learning_rate)
+    flat = carry.flat - lr * mhat / (jnp.sqrt(vhat) + eps)
+    return FlatAdamCarry(flat=flat, count=count, m=m, v=v)
+
+
 def learning_rate_schedule(cfg: OptimizerConfig):
     return optax.exponential_decay(
         init_value=cfg.initial_learning_rate,
