@@ -8,9 +8,9 @@
 #              its log into records/ when it exits.
 #   attn     — attention-gated quality (VERDICT item 2): bits8 HBM-fit
 #              + 6000-step train + dual EMA/batch_stats eval.
-#   pdw      — Pallas dW kernel A/B at the landed config (VERDICT item
-#              4, the only remaining route to >=240 p/s), then land the
-#              winner via the >1% selector.
+#   pdw      — Pallas dW kernel A/B + permanently-flat optimizer state
+#              A/B at the landed config (VERDICT items 4+5, the two
+#              routes to >=240 p/s), then land via the >1% selector.
 #   q3s2     — quality3 reproducibility at a second seed (VERDICT 7).
 #   bench    — bench.py pass to re-warm the driver's compile cache.
 #
@@ -60,7 +60,7 @@ pdw_stage() {
     # A/B needs BOTH rows (candidate + same-session incumbent re-measure)
     # before the selector adjudicates; ab_train is idempotent per tag.
     python scripts/experiments/ab_train.py --log tmp/exp_r5tune.log \
-        drop8_base_b96_k16 pdw_b96_k16 || return $?
+        drop8_base_b96_k16 pdw_b96_k16 flatstate_b96_k16 || return $?
     cp tmp/exp_r5tune.log records/round5/exp_r5tune.log 2>/dev/null
     python scripts/select_bench_tuning.py
 }
@@ -68,8 +68,11 @@ pdw_stage() {
 for iter in $(seq 1 8); do
     echo "--- queue5c pass $iter $(date -u) ---"
 
+    # 3000 steps = the 4e runbook budget; 6000 at the measured
+    # ~2.2 s/step (17.4 p/s b8 64^3 attention graph) would overrun the
+    # stage timeout and burn a kill/resume cycle
     run_stage attn 10800 python scripts/experiments/attn_quality.py \
-        --workdir tmp/r5_attn --steps 6000
+        --workdir tmp/r5_attn --steps 3000
 
     run_stage pdw 5400 bash -c \
         "$(declare -f pdw_stage); pdw_stage"
@@ -87,18 +90,23 @@ for iter in $(seq 1 8); do
         --steps 6000 --workdir tmp/r5_qmm \
         --n-train 64 --augment --drop-ratio 0.3 --min-pixel 32
 
+    # reference-geometry rehearsal: the production LiTS config shape
+    # (256x256x32 patches, config.json:18-48) trains + evaluates on chip
+    run_stage lits 5400 python scripts/experiments/lits_rehearsal.py \
+        --workdir tmp/r5_lits --steps 200
+
     run_stage q3s2 10800 python scripts/quickstart.py \
         --steps 6000 --workdir tmp/r5_q3s2 --seed 1337 \
         --n-train 64 --augment --drop-ratio 0.3 --min-pixel 32
 
     if [ -f tmp/done5_attn ] && [ -f tmp/done5_pdw ] && \
-       [ -f tmp/done5_q2d2 ] && \
+       [ -f tmp/done5_q2d2 ] && [ -f tmp/done5_lits ] && \
        [ -f tmp/done5_qmm ] && [ -f tmp/done5_q3s2 ]; then
         run_stage bench 1800 python bench.py
     fi
 
     need=0
-    for s in attn pdw q2d2 qmm q3s2 bench; do
+    for s in attn pdw q2d2 lits qmm q3s2 bench; do
         [ -f "tmp/done5_$s" ] || need=1
     done
     if [ $need -eq 0 ]; then
