@@ -38,6 +38,14 @@ def get_parser():
                         "(evaluate.py:264-271); argmax = modern softmax "
                         "blend (model.py:934)")
     p.add_argument("--pipeline", default="")
+    p.add_argument("--eval_norm", default="network",
+                   choices=["network", "ema", "batch_stats"],
+                   help="BN statistics source at inference: 'network' = "
+                        "the checkpoint sidecar's Norm kind (legacy "
+                        "parity: attention -> EMA per evaluate.py:249-251,"
+                        " plain -> batch stats per :255); 'ema' / "
+                        "'batch_stats' force one source for dual-mode "
+                        "eval without editing the sidecar")
     return p
 
 
@@ -108,6 +116,7 @@ def flags_to_config(args):
             "GaussianBlend": args.gaussian_blend,
             "VolumeThreshold": args.volume_threshold,
             "LabelMode": args.label_mode,
+            "EvalNorm": getattr(args, "eval_norm", "network"),
             # the reference's legacy evaluator always masks the prob map
             # with the thresholded label when VolumeThreshold > 0
             "MaskProbabilityWithLabel": True,

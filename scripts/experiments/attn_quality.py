@@ -25,9 +25,7 @@ retry after a tunnel drop continues rather than restarting.
     python scripts/experiments/attn_quality.py --workdir tmp/r5_attn
 """
 import argparse
-import json
 import os
-import shutil
 import subprocess
 import sys
 
@@ -129,29 +127,19 @@ def main(argv=None):
     if args.train_only:
         return 0
 
-    # dual eval: parity EMA mode (sidecar Norm="batch") then batch_stats
-    sidecar_path = os.path.join(ckpt, "network_config.json")
-    with open(sidecar_path) as f:
-        sidecar = json.load(f)
-    modes = {"ema": "batch", "bstats": "batch_stats"}
-    for tag, norm_kind in modes.items():
-        side = dict(sidecar)
-        side["Networks"] = dict(sidecar["Networks"], Norm=norm_kind)
-        backup = sidecar_path + ".orig"
-        shutil.copy(sidecar_path, backup)
-        with open(sidecar_path, "w") as f:
-            json.dump(side, f)
-        try:
-            sh([sys.executable, "evaluate.py", "--attention",
-                "--data_dir", os.path.join(wd, "evaluate"),
-                "--checkpoint_path", ckpt, "--pipeline", ppath,
-                "--patch_size", str(patch), "--patch_layer", str(patch),
-                "--stride_inplane", str(patch // 2),
-                "--stride_layer", str(patch // 2),
-                "--batch_size", "4",
-                "--label_filename", f"pred_{tag}.nii.gz"])
-        finally:
-            shutil.move(backup, sidecar_path)
+    # dual eval via --eval_norm: no sidecar mutation (a stage-timeout
+    # SIGTERM mid-eval must never corrupt the checkpoint's
+    # network_config.json — the retry would inherit the wrong Norm)
+    modes = {"ema": "ema", "bstats": "batch_stats"}
+    for tag, eval_norm in modes.items():
+        sh([sys.executable, "evaluate.py", "--attention",
+            "--data_dir", os.path.join(wd, "evaluate"),
+            "--checkpoint_path", ckpt, "--pipeline", ppath,
+            "--patch_size", str(patch), "--patch_layer", str(patch),
+            "--stride_inplane", str(patch // 2),
+            "--stride_layer", str(patch // 2),
+            "--batch_size", "4", "--eval_norm", eval_norm,
+            "--label_filename", f"pred_{tag}.nii.gz"])
 
     import numpy as np
     from vnet_tpu.io import read_image

@@ -60,21 +60,7 @@ def main(argv=None):
         cfg.evaluate.data_dir = os.path.abspath(args.data_dir)
 
     ev = Evaluator(cfg)
-    if args.max_cases is not None:
-        from vnet_tpu.data import list_cases
-        from vnet_tpu.io import write_image
-        cases = list_cases(ev.e.data_dir)[:args.max_cases]
-        results = []
-        for case in cases:
-            case_dir = os.path.join(ev.e.data_dir, case)
-            out = ev.evaluate_case(case_dir)
-            if out is None:
-                continue
-            label_path = os.path.join(case_dir, ev.e.label_filename)
-            write_image(out[0], label_path)
-            results.append(label_path)
-    else:
-        results = ev.evaluate()
+    results = ev.evaluate(max_cases=args.max_cases)
     print(f"blend_impl={args.blend_impl}: evaluated {len(results)} case(s)",
           flush=True)
     num_classes = ev.t.num_classes

@@ -17,9 +17,9 @@
 # Same discipline as master_loop5.sh: child process per stage, logs
 # copied out of volatile tmp/ after every attempt, bounded retries.
 #
-#   nohup bash scripts/experiments/master_loop5b.sh <qmm_pid> \
-#       > tmp/master_loop5b.log 2>&1 &
-#   echo $! > tmp/master_loop5b.pid
+#   nohup bash scripts/experiments/master_loop5c.sh <qmm_pid> \
+#       > tmp/master_loop5c.log 2>&1 &
+#   echo $! > tmp/master_loop5c.pid
 set -u
 cd "$(dirname "$0")/../.." || exit 1
 mkdir -p tmp records/round5

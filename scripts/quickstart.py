@@ -267,14 +267,38 @@ def main(argv=None):
 
     contrast = args.contrast if args.contrast is not None else (
         2.0 if args.rank2 else 0.6)
+    meta_path = os.path.join(workdir, "dataset_meta.json")
+    meta = {"contrast": contrast, "seed": args.seed, "shape": list(shape),
+            "multimodal": bool(args.multimodal),
+            "n_train": args.n_train or (8 if small else 24)}
     if not os.path.isdir(os.path.join(workdir, "training")):
         print(f"generating synthetic dataset under {workdir} "
               f"(contrast {contrast} sigma) ...", flush=True)
-        n_train = args.n_train or (8 if small else 24)
-        build_dataset(workdir, shape, n_train=n_train,
+        build_dataset(workdir, shape, n_train=meta["n_train"],
                       n_eval=2 if small else 4,
                       multimodal=args.multimodal, contrast=contrast,
                       seed=args.seed)
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+    elif os.path.isfile(meta_path):
+        # dataset generation is skipped on reuse — the knobs that shape
+        # the DATA (--contrast/--seed/--multimodal/--n-train) must match
+        # what the existing workdir was generated with, or the run would
+        # silently train on different data than the recipe claims
+        with open(meta_path) as f:
+            old = json.load(f)
+        if old != meta:
+            raise SystemExit(
+                f"{workdir} holds a dataset generated with {old}, but "
+                f"this invocation asks for {meta}; use a fresh --workdir "
+                f"(or delete the old one) — generation is skipped on "
+                f"reuse and the data would not match the recipe")
+    else:
+        import warnings
+        warnings.warn(
+            f"reusing pre-existing dataset in {workdir} with no "
+            f"dataset_meta.json — cannot verify it matches "
+            f"contrast={contrast}/seed={args.seed}", stacklevel=1)
     cpath = write_config(workdir, patch, args.steps, small,
                          drop_ratio=args.drop_ratio,
                          min_pixel=args.min_pixel, lr=args.lr,

@@ -216,7 +216,11 @@ class EvaluationConfig:
     # fg-biased training batch composition and live batch statistics
     # collapse the foreground classes (BENCHMARKS.md round-5 2D
     # diagnosis part 2: class-2 Dice 0.003 batch-stats vs 0.704 ema on
-    # the same checkpoint). The two modes share one checkpoint format.
+    # the same checkpoint); "batch_stats" = force live batch statistics
+    # even when the network was built with Norm "batch" (the legacy
+    # attention sidecar records the reference's EMA exception — this
+    # lets one checkpoint be evaluated both ways without editing the
+    # sidecar). All modes share one checkpoint format.
     eval_norm: str = "network"
 
 
@@ -233,7 +237,7 @@ def _network_config(tree: dict) -> NetworkConfig:
     num_conv = net.get("NumConvolutions", net.get("NumCovolutions", (1, 2, 3, 3)))
     if isinstance(num_conv, int):
         num_conv = (num_conv,)
-    return NetworkConfig(
+    cfg = NetworkConfig(
         name=net.get("Name", "VNet"),
         dropout=float(net.get("Dropout", 0.01)),
         num_channel=int(net.get("NumChannel", 16)),
@@ -248,6 +252,12 @@ def _network_config(tree: dict) -> NetworkConfig:
         dw_impl=str(net.get(
             "DwImpl", "custom" if net.get("CustomDw", False) else "xla")),
     )
+    if cfg.dw_impl not in ("xla", "custom", "pallas"):
+        # SpatialConv's dispatch would silently fall through to "xla" on
+        # a typo — a perf A/B must never measure the wrong configuration
+        raise ConfigError("Networks.DwImpl must be 'xla', 'custom' or "
+                          f"'pallas', got {cfg.dw_impl!r}")
+    return cfg
 
 
 def parse_config(tree: dict) -> Config:
@@ -341,9 +351,9 @@ def parse_config(tree: dict) -> Config:
         eval_norm=str(es.get("EvalNorm", "network")),
     )
 
-    if evaluate.eval_norm not in ("network", "ema"):
+    if evaluate.eval_norm not in ("network", "ema", "batch_stats"):
         raise ConfigError("EvaluationSetting.EvalNorm must be "
-                          "'network' or 'ema'")
+                          "'network', 'ema' or 'batch_stats'")
     if len(evaluate.stride) != len(patch_shape):
         raise ConfigError("EvaluationSetting.Stride rank must match PatchShape")
 

@@ -49,12 +49,17 @@ class Evaluator:
         dtype = jnp.bfloat16 if self.t.precision == "bfloat16" else jnp.float32
         # EvalNorm "ema": evaluate under the training-run running averages
         # instead of live batch statistics (same checkpoint; norm="batch"
-        # at train=False IS flax's use_running_average path). Measured
-        # essential for 2D slice-stacked eval — see config.EvaluationConfig
+        # at train=False IS flax's use_running_average path) — measured
+        # essential for 2D slice-stacked eval; "batch_stats": force live
+        # statistics on a net whose sidecar/config says "batch" (dual-
+        # mode eval without mutating the checkpoint sidecar). See
+        # config.EvaluationConfig.
         norm = net_cfg.norm
-        if (self.e.eval_norm == "ema"
-                and norm in ("batch", "batch_stats")):
-            norm = "batch"
+        if norm in ("batch", "batch_stats"):
+            if self.e.eval_norm == "ema":
+                norm = "batch"
+            elif self.e.eval_norm == "batch_stats":
+                norm = "batch_stats"
         self.network = build_network(
             name, num_classes=self.t.num_classes, dropout_rate=0.0,
             num_channels=net_cfg.num_channel, num_levels=net_cfg.num_levels,
@@ -296,11 +301,15 @@ class Evaluator:
                                  .astype(np.float32)) for pr in probs]
         return label, probs
 
-    def evaluate(self):
+    def evaluate(self, max_cases: Optional[int] = None):
         """Loop over the evaluation directory and write outputs
-        (`model.py:1172-1243`)."""
+        (`model.py:1172-1243`). ``max_cases`` truncates the case list
+        (diagnostic probes — e.g. eval_only.py --max-cases)."""
         results = []
-        for case in list_cases(self.e.data_dir):
+        cases = list_cases(self.e.data_dir)
+        if max_cases is not None:
+            cases = cases[:max_cases]
+        for case in cases:
             case_dir = os.path.join(self.e.data_dir, case)
             out = self.evaluate_case(case_dir)
             if out is None:
