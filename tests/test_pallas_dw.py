@@ -15,21 +15,32 @@ from vnet_tpu.ops.pallas.dw_conv import (_dw_xla, conv_pallas_dw,
                                          dw_conv_pallas, dw_conv_supported)
 
 
-@pytest.mark.parametrize("shape,k", [
-    ((2, 8, 8, 8, 128, 128), 3),   # single ci/co tile
-    ((2, 8, 8, 4, 256, 128), 3),   # two ci tiles
-    ((1, 8, 8, 8, 128, 256), 5),   # two co tiles, 5^3 kernel
+@pytest.mark.parametrize("shape,k,dtype", [
+    ((2, 8, 8, 8, 128, 128), 3, jnp.float32),   # single ci/co tile
+    ((2, 8, 8, 4, 256, 128), 3, jnp.float32),   # two ci tiles
+    ((1, 8, 8, 8, 128, 256), 5, jnp.float32),   # two co tiles, 5^3 kernel
+    # VMEM budget forces z-chunking (zc=8 < Z=32 under the sublane-
+    # aligned candidate rule) + tile-rounding tail on the last chunk
+    ((1, 32, 32, 32, 128, 128), 3, jnp.float32),
+    # bf16 = the training dtype: sublane tile 16, zb rounds 18 -> 32
+    ((2, 8, 8, 16, 128, 128), 3, jnp.bfloat16),
 ])
-def test_dw_kernel_matches_xla(rng, shape, k):
+def test_dw_kernel_matches_xla(rng, shape, k, dtype):
     B, X, Y, Z, Ci, Co = shape
-    x = jnp.asarray(rng.normal(size=(B, X, Y, Z, Ci)).astype(np.float32))
-    g = jnp.asarray(rng.normal(size=(B, X, Y, Z, Co)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, X, Y, Z, Ci)).astype(np.float32),
+                    dtype)
+    g = jnp.asarray(rng.normal(size=(B, X, Y, Z, Co)).astype(np.float32),
+                    dtype)
     pads = same_pads((k,) * 3)
     assert dw_conv_supported(x.shape, g.shape, (k,) * 3, pads)
     got = dw_conv_pallas(x, g, (k,) * 3, pads)
     ref = _dw_xla(x, g, pads, 3)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-5, atol=2e-4)
+    # f32: accumulation-order noise over the X*Y*Z contraction (measured
+    # max abs 4.6e-4 on O(100) values at the 32^3 case); bf16 inputs wider
+    tol = dict(rtol=1e-4, atol=1e-3) if dtype == jnp.float32 \
+        else dict(rtol=3e-2, atol=3e-1)
+    np.testing.assert_allclose(np.asarray(got).astype(np.float32),
+                               np.asarray(ref).astype(np.float32), **tol)
 
 
 def test_conv_pallas_dw_full_vjp_matches_stock(rng):

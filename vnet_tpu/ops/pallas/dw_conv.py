@@ -76,17 +76,37 @@ def _dw_kernel(x_ref, g_ref, out_ref, *, kernel_spatial, g_dims):
                 out_ref[idx, :, :] += acc
 
 
-def _pick_z_chunk(X, Y, Z, k, ci_t, itemsize) -> int:
-    """Largest divisor-of-Z chunk whose padded x-block fits the budget."""
-    zc = Z
-    while zc > 1:
-        block = (X + k - 1) * (Y + k - 1) * (zc + k - 1) * ci_t * itemsize
+def _sublane_tile(itemsize: int) -> int:
+    """Mosaic's second-minor tile for this dtype (f32 8, bf16 16, i8 32)."""
+    return 8 * 4 // itemsize
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def _pick_z_chunk(X, Y, Z, k, ci_t, itemsize) -> Tuple[int, int]:
+    """(zc, zb): z-chunk + x-block z extent honouring Mosaic tiling.
+
+    Mosaic requires a block's second-minor dim to be a multiple of the
+    dtype's sublane tile (or equal the full array dim) — the interp-mode
+    tests don't enforce this, the real TPU lowering does. So candidate
+    chunks are Z itself, then sublane-aligned divisors of Z descending;
+    the x-block extent zb is the (k-1)-halo window rounded up to the
+    tile (the kernel never reads the rounding tail — the caller pads the
+    array so the last window's block stays in bounds). Picks the largest
+    candidate whose padded x-block fits the VMEM budget, else the
+    smallest aligned one.
+    """
+    m = _sublane_tile(itemsize)
+    cands = [Z] + [d for d in range(Z - m, 0, -m) if Z % d == 0]
+    for zc in cands:
+        zb = _round_up(zc + k - 1, m)
+        block = (X + k - 1) * (Y + k - 1) * zb * ci_t * itemsize
         if block <= _BLOCK_BUDGET:
-            break
-        # spatial dims here are powers of two (packed V-Net grids); for
-        # odd sizes this still terminates at zc=1
-        zc = zc // 2 if zc % 2 == 0 else 1
-    return max(zc, 1)
+            return zc, zb
+    zc = cands[-1]
+    return zc, _round_up(zc + k - 1, m)
 
 
 def dw_conv_supported(x_shape, g_shape, kernel_spatial,
@@ -129,13 +149,19 @@ def dw_conv_pallas(x: jnp.ndarray, g: jnp.ndarray,
     Co = g.shape[-1]
     kx, ky, kz = kernel_spatial
 
-    xp = jnp.pad(x, ((0, 0),) + tuple((lo, hi) for lo, hi in pads)
-                 + ((0, 0),))
-
     ci_t = min(Ci, LANES)
     co_t = min(Co, LANES)
-    zc = _pick_z_chunk(X, Y, Z, max(kx, ky, kz), ci_t, x.dtype.itemsize)
+    zc, zb = _pick_z_chunk(X, Y, Z, max(kx, ky, kz), ci_t,
+                           max(x.dtype.itemsize, g.dtype.itemsize))
     grid = (Ci // ci_t, Co // co_t, B, Z // zc)
+
+    # halo pad (lo, hi) per axis, plus a z tail so the LAST chunk's
+    # tile-rounded zb-extent block stays in bounds (the kernel only
+    # reads the first zc+kz-1 rows of each block; the tail is dead)
+    z_tail = (Z // zc - 1) * zc + zb - (Z + kz - 1)
+    (xl, xh), (yl, yh), (zl, zh) = pads
+    xp = jnp.pad(x, ((0, 0), (xl, xh), (yl, yh), (zl, zh + z_tail),
+                     (0, 0)))
 
     kkk = kx * ky * kz
     out = pl.pallas_call(
@@ -144,7 +170,7 @@ def dw_conv_pallas(x: jnp.ndarray, g: jnp.ndarray,
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (None, X + kx - 1, Y + ky - 1, pl.Element(zc + kz - 1),
+                (None, X + kx - 1, Y + ky - 1, pl.Element(zb),
                  ci_t),
                 lambda ci, co, b, z: (b, 0, 0, z * zc, ci)),
             pl.BlockSpec(
