@@ -169,10 +169,13 @@ def dw_conv_pallas(x: jnp.ndarray, g: jnp.ndarray,
                 g_dims=(X, Y, zc)),
         grid=grid,
         in_specs=[
+            # Mosaic: a buffer with ANY Element dim must be all Element
+            # (Squeezed allowed) — index_map entries are then ELEMENT
+            # offsets, so the ci entry is ci * ci_t, not the block index
             pl.BlockSpec(
-                (None, X + kx - 1, Y + ky - 1, pl.Element(zb),
-                 ci_t),
-                lambda ci, co, b, z: (b, 0, 0, z * zc, ci)),
+                (None, pl.Element(X + kx - 1), pl.Element(Y + ky - 1),
+                 pl.Element(zb), pl.Element(ci_t)),
+                lambda ci, co, b, z: (b, 0, 0, z * zc, ci * ci_t)),
             pl.BlockSpec(
                 (None, X, Y, zc, co_t),
                 lambda ci, co, b, z: (b, 0, 0, z, co)),
