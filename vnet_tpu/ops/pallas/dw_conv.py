@@ -16,18 +16,42 @@ reads the forward (channel-minor, default) layout natively and does the
 
 Formulation: for each kernel offset, the contraction is
 ``A^T B`` with ``A = x_window  [N, Ci_tile]`` and ``B = g [N, Co_tile]``
-over ``N = X*Y*ZC`` flattened positions — the contracted dimension rides
+over ``N = XC*Y*ZC`` flattened positions — the contracted dimension rides
 the *sublanes* of both operands (the MXU's native "transposed LHS"
-dataflow), so no operand ever transposes in HBM. The activation arrives
-pre-padded (one cheap XLA pad, ~1/10 the cost of the copy pair it
-replaces); z is chunked with a (k-1)-halo via element-granular indexing
-(``pl.Element``), x/y live whole in VMEM.
+dataflow), so no operand ever transposes in HBM.
 
-Grid ``(ci_tiles, co_tiles, B, Z_chunks)``: the f32 output block
-``[prod(k), ci_t, co_t]`` stays VMEM-resident and accumulates across the
-(B, Z_chunks) axes (sequential on TPU), written back once per (ci, co)
-tile. Scope: rank-3, stride 1, no dilation, Ci/Co multiples of the lane
-width (the packed V-Net hot convs: L1/L2 with C in {128, 256}).
+Halo handling WITHOUT an HBM pad (an explicit ``jnp.pad`` of the 805 MB
+activation costs ~as much as the copy pair this kernel eliminates), and
+WITHOUT low-side window padding (Mosaic element windows reject it:
+"Low padding not supported yet"): both x and g windows START at the
+chunk origin and extend HIGH only —
+
+    x window [s, s + chunk + (k-1-lo)),  g window [s, s + chunk + lo)
+
+and each kernel offset ``o`` picks which operand's slice shifts:
+``o >= lo`` slides x by ``o-lo`` (the usual form); ``o < lo`` uses the
+substitution q = p-(lo-o) to slide g by ``lo-o`` instead — the low-halo
+terms are exactly the conv's zero-padding and drop out. Window content
+beyond the array (declared high padding; content UNDEFINED — interp
+fills NaN) is zeroed in VMEM once per grid step via a mask computed
+from the grid position; every offset slice then reads the masked
+blocks. x/g are chunked over z (sublane-tile-aligned chunks,
+tile-rounded window extents — Mosaic requires the block's second-minor
+dim be a multiple of the dtype's sublane tile) and over x (a major dim,
+any divisor of X) so every buffer fits the VMEM budget:
+
+    grid (ci_tiles, co_tiles, B, Z_chunks, X_chunks)
+
+The f32 output block ``[prod(k), ci_t, co_t]`` stays VMEM-resident and
+accumulates across the trailing (B, Z, X) grid axes (sequential on TPU),
+written back once per (ci, co) tile. Shape scope (``dw_conv_supported``):
+rank-3, stride 1, no dilation, lane-aligned channels, pads within the
+kernel window. Perf scope in the conv VJP (``conv_pallas_dw``):
+additionally ``prod(k) <= _PERF_SCOPE_KKK`` — the packed V-Net's big
+k=3^3 sites (the 32^3-domain L0/L1 activations where the copy cost
+concentrates); larger packed kernels (45/75/125 offsets) stay on the XLA
+formulation, keeping the Mosaic compile load on the remote compile
+helper bounded.
 
 Reference hot loop being replaced: `/root/reference/networks.py:307-322`
 (its dW is implicit in TF's ``conv3d_backprop_filter``).
@@ -45,32 +69,67 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-# largest VMEM bytes allowed for one (double-buffered) input block
-_BLOCK_BUDGET = 3 * 1024 * 1024
+# VMEM bytes allowed for one grid step's buffers: x block x3 (double
+# buffering + the masked VMEM copy), g block x2, the resident out block
+_VMEM_BUDGET = 12 * 1024 * 1024
+# conv VJP uses the kernel only below this many kernel offsets
+_PERF_SCOPE_KKK = 27
 
 
-def _dw_kernel(x_ref, g_ref, out_ref, *, kernel_spatial, g_dims):
-    """One grid step: accumulate all kernel-offset contractions for this
-    (ci, co, b, z-chunk) into the resident f32 output block."""
+def _mask_high(ref, starts, valids):
+    """Zero window content beyond the array's high edge (declared-
+    padding content is undefined). starts/valids are per spatial dim;
+    the window's leading coordinate is its chunk origin, so only the
+    high side needs masking."""
+    shape = ref.shape[:3] + (1,)
+    sx, sy, sz = starts
+    X, Y, Z = valids
+    ix = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + sx
+    iy = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + sy
+    iz = jax.lax.broadcasted_iota(jnp.int32, shape, 2) + sz
+    valid = (ix < X) & (iy < Y) & (iz < Z)
+    return jnp.where(valid, ref[...], jnp.zeros((), ref.dtype))
+
+
+def _dw_kernel(x_ref, g_ref, out_ref, *, kernel_spatial, chunks,
+               valid_extents, pads_lo):
+    """One grid step: mask both windows' high OOB, then accumulate all
+    kernel-offset contractions for this (ci, co, b, z, x) step into the
+    resident f32 output block. Offsets o >= lo slide the x slice by
+    o-lo; offsets o < lo slide the g slice by lo-o (module docstring)."""
     b_idx = pl.program_id(2)
     z_idx = pl.program_id(3)
+    x_idx = pl.program_id(4)
 
-    @pl.when(jnp.logical_and(b_idx == 0, z_idx == 0))
+    @pl.when(jnp.logical_and(b_idx == 0,
+                             jnp.logical_and(z_idx == 0, x_idx == 0)))
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
     kx, ky, kz = kernel_spatial
-    X, Y, ZC = g_dims
+    xc, Y, zc = chunks
+    X, Yf, Z = valid_extents
+    xl, yl, zl = pads_lo
     ci_t = x_ref.shape[-1]
     co_t = g_ref.shape[-1]
-    g2 = g_ref[...].reshape(X * Y * ZC, co_t)
+
+    sx = x_idx * xc
+    sz = z_idx * zc
+    a_all = _mask_high(x_ref, (sx, 0, sz), (X, Yf, Z))
+    g_all = _mask_high(g_ref, (sx, 0, sz), (X, Yf, Z))
+
+    n = xc * Y * zc
     for ikx in range(kx):
+        ax, gx = max(ikx - xl, 0), max(xl - ikx, 0)
         for iky in range(ky):
+            ay, gy = max(iky - yl, 0), max(yl - iky, 0)
             for ikz in range(kz):
-                a = x_ref[ikx:ikx + X, iky:iky + Y, ikz:ikz + ZC, :]
-                a2 = a.reshape(X * Y * ZC, ci_t)
+                az, gz = max(ikz - zl, 0), max(zl - ikz, 0)
+                a = a_all[ax:ax + xc, ay:ay + Y, az:az + zc, :]
+                b = g_all[gx:gx + xc, gy:gy + Y, gz:gz + zc, :]
                 acc = jax.lax.dot_general(
-                    a2, g2, (((0,), (0,)), ((), ())),
+                    a.reshape(n, ci_t), b.reshape(n, co_t),
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
                 idx = (ikx * ky + iky) * kz + ikz
                 out_ref[idx, :, :] += acc
@@ -85,28 +144,47 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-def _pick_z_chunk(X, Y, Z, k, ci_t, itemsize) -> Tuple[int, int]:
-    """(zc, zb): z-chunk + x-block z extent honouring Mosaic tiling.
+def _divisors_desc(n: int):
+    return [d for d in range(n, 0, -1) if n % d == 0]
 
-    Mosaic requires a block's second-minor dim to be a multiple of the
-    dtype's sublane tile (or equal the full array dim) — the interp-mode
-    tests don't enforce this, the real TPU lowering does. So candidate
-    chunks are Z itself, then sublane-aligned divisors of Z descending;
-    the x-block extent zb is the (k-1)-halo window rounded up to the
-    tile (the kernel never reads the rounding tail — the caller pads the
-    array so the last window's block stays in bounds). Picks the largest
-    candidate whose padded x-block fits the VMEM budget, else the
-    smallest aligned one.
+
+def _window_extents(xc, Y, zc, kernel_spatial, pads_lo, m):
+    """((x-window extents), (g-window extents)) per spatial dim — x
+    extends high by k-1-lo, g by lo; z extents tile-rounded."""
+    kx, ky, kz = kernel_spatial
+    xl, yl, zl = pads_lo
+    x_ext = (xc + kx - 1 - xl, Y + ky - 1 - yl,
+             _round_up(zc + kz - 1 - zl, m))
+    g_ext = (xc + xl, Y + yl, _round_up(zc + zl, m))
+    return x_ext, g_ext
+
+
+def _pick_chunks(X, Y, Z, kernel_spatial, pads_lo, ci_t, co_t, itemsize):
+    """(xc, zc): x- and z-chunk sizes.
+
+    z chunks must be sublane-tile-aligned (or Z itself) — Mosaic's
+    second-minor block rule; x is a major dim, so any divisor of X
+    works. Walks (zc desc, xc desc) and returns the first combination
+    whose grid-step VMEM footprint (3x each input window: double
+    buffering + the masked VMEM copy, plus the resident out block) fits
+    the budget; falls back to the smallest.
     """
+    kx, ky, kz = kernel_spatial
     m = _sublane_tile(itemsize)
-    cands = [Z] + [d for d in range(Z - m, 0, -m) if Z % d == 0]
-    for zc in cands:
-        zb = _round_up(zc + k - 1, m)
-        block = (X + k - 1) * (Y + k - 1) * zb * ci_t * itemsize
-        if block <= _BLOCK_BUDGET:
-            return zc, zb
-    zc = cands[-1]
-    return zc, _round_up(zc + k - 1, m)
+    z_cands = [Z] + [d for d in range(Z - m, 0, -m) if Z % d == 0]
+    out_bytes = kx * ky * kz * ci_t * co_t * 4
+    best = None
+    for zc in z_cands:
+        for xc in _divisors_desc(X):
+            x_ext, g_ext = _window_extents(xc, Y, zc, kernel_spatial,
+                                           pads_lo, m)
+            x_bytes = int(np.prod(x_ext)) * ci_t * itemsize
+            g_bytes = int(np.prod(g_ext)) * co_t * itemsize
+            total = 3 * x_bytes + 3 * g_bytes + out_bytes
+            best = (xc, zc)
+            if total <= _VMEM_BUDGET:
+                return best
+    return best
 
 
 def dw_conv_supported(x_shape, g_shape, kernel_spatial,
@@ -148,43 +226,53 @@ def dw_conv_pallas(x: jnp.ndarray, g: jnp.ndarray,
     B, X, Y, Z, Ci = x.shape
     Co = g.shape[-1]
     kx, ky, kz = kernel_spatial
+    (xl, xh), (yl, yh), (zl, zh) = pads
 
     ci_t = min(Ci, LANES)
     co_t = min(Co, LANES)
-    zc, zb = _pick_z_chunk(X, Y, Z, max(kx, ky, kz), ci_t,
-                           max(x.dtype.itemsize, g.dtype.itemsize))
-    grid = (Ci // ci_t, Co // co_t, B, Z // zc)
+    item = max(x.dtype.itemsize, g.dtype.itemsize)
+    m = _sublane_tile(item)
+    xc, zc = _pick_chunks(X, Y, Z, kernel_spatial, (xl, yl, zl),
+                          ci_t, co_t, item)
+    grid = (Ci // ci_t, Co // co_t, B, Z // zc, X // xc)
+    x_ext, g_ext = _window_extents(xc, Y, zc, kernel_spatial,
+                                   (xl, yl, zl), m)
 
-    # halo pad (lo, hi) per axis, plus a z tail so the LAST chunk's
-    # tile-rounded zb-extent block stays in bounds (the kernel only
-    # reads the first zc+kz-1 rows of each block; the tail is dead)
-    z_tail = (Z // zc - 1) * zc + zb - (Z + kz - 1)
-    (xl, xh), (yl, yh), (zl, zh) = pads
-    xp = jnp.pad(x, ((0, 0), (xl, xh), (yl, yh), (zl, zh + z_tail),
-                     (0, 0)))
+    def hi_pad(ext, chunk, n_chunks, dim):
+        # declared high-OOB extent so the LAST chunk's window stays in
+        # the (virtually padded) array; content undefined, masked in
+        # the kernel — only the extent matters
+        return max((n_chunks - 1) * chunk + ext - dim, 0)
+
+    def window_spec(ext, tile, is_x):
+        xe, ye, ze = ext
+        pad = (hi_pad(xe, xc, X // xc, X), hi_pad(ye, Y, 1, Y),
+               hi_pad(ze, zc, Z // zc, Z))
+
+        def index(ci, co, b, z, xi):
+            return (b, xi * xc, 0, z * zc, (ci if is_x else co) * tile)
+
+        return pl.BlockSpec(
+            # Mosaic: a buffer with ANY Element dim must be all Element
+            # (Squeezed allowed); index_map entries are ELEMENT offsets,
+            # and only HIGH declared padding is supported
+            (None, pl.Element(xe, (0, pad[0])), pl.Element(ye, (0, pad[1])),
+             pl.Element(ze, (0, pad[2])), pl.Element(tile)),
+            index)
 
     kkk = kx * ky * kz
     out = pl.pallas_call(
         partial(_dw_kernel, kernel_spatial=kernel_spatial,
-                g_dims=(X, Y, zc)),
+                chunks=(xc, Y, zc), valid_extents=(X, Y, Z),
+                pads_lo=(xl, yl, zl)),
         grid=grid,
-        in_specs=[
-            # Mosaic: a buffer with ANY Element dim must be all Element
-            # (Squeezed allowed) — index_map entries are then ELEMENT
-            # offsets, so the ci entry is ci * ci_t, not the block index
-            pl.BlockSpec(
-                (None, pl.Element(X + kx - 1), pl.Element(Y + ky - 1),
-                 pl.Element(zb), pl.Element(ci_t)),
-                lambda ci, co, b, z: (b, 0, 0, z * zc, ci * ci_t)),
-            pl.BlockSpec(
-                (None, X, Y, zc, co_t),
-                lambda ci, co, b, z: (b, 0, 0, z, co)),
-        ],
+        in_specs=[window_spec(x_ext, ci_t, True),
+                  window_spec(g_ext, co_t, False)],
         out_specs=pl.BlockSpec(
-            (kkk, ci_t, co_t), lambda ci, co, b, z: (0, ci, co)),
+            (kkk, ci_t, co_t), lambda ci, co, b, z, xi: (0, ci, co)),
         out_shape=jax.ShapeDtypeStruct((kkk, Ci, Co), jnp.float32),
         interpret=interpret,
-    )(xp, g)
+    )(x, g)
     return out.reshape(kx, ky, kz, Ci, Co)
 
 
@@ -227,7 +315,8 @@ def _bwd(pads, res, g):
             xx, w, (1,) * rank, pads, dimension_numbers=spec["fwd"]), x)
     (dx,) = vjp_x(g)
     kernel_spatial = tuple(w.shape[:rank])
-    if dw_conv_supported(x.shape, g.shape, kernel_spatial, tuple(pads)):
+    if (dw_conv_supported(x.shape, g.shape, kernel_spatial, tuple(pads))
+            and int(np.prod(kernel_spatial)) <= _PERF_SCOPE_KKK):
         dw = dw_conv_pallas(x, g, kernel_spatial, tuple(pads))
     else:
         dw = _dw_xla(x, g, tuple(pads), rank)
