@@ -204,6 +204,52 @@ def test_pallas_blend_matches_xla(rng, gaussian_blend, hard):
                                rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_blend_eligibility_predicate():
+    """Mosaic f32 tiling (8, 128): minor starts/extents x folded channels
+    must be 128-multiples, second-minor 8-multiples (the LiTS rehearsal
+    rejection: stride-16 grid x Cc=4 -> folded minor gcd 64)."""
+    from vnet_tpu.infer.sliding_window import pallas_blend_eligible
+    # the measured-win bench geometry (benchmark_eval.py defaults):
+    # patch 64^3, stride 64, 3 classes + weight channel
+    assert pallas_blend_eligible((64, 64, 64), (64, 64, 64), 4)
+    # LiTS rehearsal geometry: minor stride gcd 16, Cc=4 -> 64 < 128
+    assert not pallas_blend_eligible((16, 16, 16), (256, 256, 32), 4)
+    # sublane violation: second-minor starts not 8-aligned
+    assert not pallas_blend_eligible((64, 4, 64), (64, 64, 64), 4)
+    # single-patch axes use the huge power-of-two sentinel -> eligible
+    assert pallas_blend_eligible((1 << 20, 1 << 20, 1 << 20), (64, 64, 64), 4)
+    # odd folded channel count is fine when stride covers it (32*4=128)
+    assert pallas_blend_eligible((8, 8, 32), (8, 8, 32), 4)
+    assert not pallas_blend_eligible((8, 8, 32), (8, 8, 32), 3)
+
+
+def test_pallas_blend_ineligible_grid_falls_back(rng, monkeypatch):
+    """With a real-TPU backend and a grid Mosaic cannot prove tile-aligned,
+    blend_impl='pallas' must route THAT volume through the XLA scatter-add
+    instead of tracing the kernel (which dies in the remote compile
+    helper — the round-5 LiTS rehearsal failure)."""
+    import vnet_tpu.ops.pallas as vp
+
+    def apply_fn(variables, patches):
+        v = patches[..., 0]
+        return jnp.stack([jnp.sin(v), jnp.cos(v)], axis=-1)
+
+    vol = rng.normal(size=(10, 9, 8, 1)).astype(np.float32)
+    kw = dict(patch_shape=(4, 4, 4), stride=(3, 3, 3), batch_size=3,
+              num_classes=2)
+    ref_acc, ref_w = SlidingWindowInference(apply_fn, **kw)({}, vol)
+
+    monkeypatch.setattr(vp, "is_tpu_backend", lambda: True)
+    eng = SlidingWindowInference(apply_fn, blend_impl="pallas", **kw)
+    got_acc, got_w = eng({}, vol)
+    # stride 3 is neither 8- nor (x Cc=3) 128-aligned -> xla fallback
+    assert all(key[-1] == "xla" for key in eng._compiled)
+    np.testing.assert_allclose(np.asarray(got_acc), np.asarray(ref_acc),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_w), np.asarray(ref_w),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_pallas_blend_rejects_mesh():
     with pytest.raises(NotImplementedError):
         SlidingWindowInference(lambda v, p: p, (4, 4, 4), (4, 4, 4),

@@ -102,7 +102,11 @@ class Evaluator:
         blend_impl = self.e.blend_impl
         if blend_impl == "auto":
             # pallas measured 14% faster at dense stride (BENCHMARKS.md
-            # "Whole-volume inference"); it is an unsharded-3D-grid kernel
+            # "Whole-volume inference"); it is an unsharded-3D-grid kernel.
+            # Per-volume geometry eligibility (Mosaic tile alignment) is
+            # checked inside SlidingWindowInference.__call__, which falls
+            # back to the XLA blend for grids the kernel cannot lower
+            # (sliding_window.pallas_blend_eligible).
             blend_impl = ("pallas"
                           if mesh is None and self.t.dimension == 3
                           else "xla")

@@ -59,6 +59,33 @@ def build_patch_grid(volume_shape: Sequence[int], patch_shape: Sequence[int],
     return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
 
 
+def pallas_blend_eligible(start_multiples: Sequence[int],
+                          patch_shape: Sequence[int],
+                          folded_channels: int) -> bool:
+    """Whether ``blend_accumulate_patches`` can lower at this grid geometry
+    on real TPU.
+
+    Mosaic tiles f32 memrefs ``(8, 128)`` on the last two dims, and the
+    kernel's dynamic accumulator slice must be PROVABLY tile-aligned from
+    the static ``pl.multiple_of`` hints alone (`ops/pallas/fused.py`
+    ``start_multiples`` doc): after the channel fold the minor axis
+    carries ``W*C``, so every minor start and the minor block extent must
+    be 128-multiples, and the second-minor ones 8-multiples. Observed
+    rejection at LiTS geometry (stride 16 x Cc=4 -> folded minor gcd 64):
+    "Failed to prove that a tile index in dimension 2 is divisible by the
+    tiling (128)" — a compile-time HTTP 500 through the remote helper, so
+    callers must decide per volume BEFORE tracing the kernel.
+    """
+    minor_mult = start_multiples[-1] * folded_channels
+    minor_block = patch_shape[-1] * folded_channels
+    if minor_mult % 128 or minor_block % 128:
+        return False
+    if len(patch_shape) >= 2:
+        if start_multiples[-2] % 8 or patch_shape[-2] % 8:
+            return False
+    return True
+
+
 def cosine_window(patch_shape: Sequence[int]) -> np.ndarray:
     """Separable Hann^1 window, floored so every voxel keeps support."""
     ws = []
@@ -150,10 +177,13 @@ class SlidingWindowInference:
 
     # ------------------------------------------------------------------
     def _make_jitted(self, vol_shape: Tuple[int, ...], num_batches: int,
-                     start_multiples: Tuple[int, ...]):
+                     start_multiples: Tuple[int, ...], impl: str):
         # start_multiples is required (advisor r3): the pallas branch
         # indexes start_multiples[rank-1], so a () default would be an
-        # advertised-but-invalid signature for blend_impl='pallas'
+        # advertised-but-invalid signature for impl='pallas'. impl is the
+        # PER-VOLUME blend choice — self.blend_impl='pallas' falls back to
+        # 'xla' for grids Mosaic cannot prove tile-aligned (see
+        # pallas_blend_eligible).
         patch = self.patch_shape
         B = self.batch_size
         C = vol_shape[-1]
@@ -182,7 +212,7 @@ class SlidingWindowInference:
 
         acc_channels = self.num_classes + (1 if self.hard_accumulate else 0)
 
-        if self.blend_impl == "pallas":
+        if impl == "pallas":
             from ..ops.pallas import blend_accumulate_patches, is_tpu_backend
             # CPU (tests / virtual meshes) runs the TPU interpreter; the
             # blend kernel is deterministic so interpret mode is exact
@@ -363,22 +393,33 @@ class SlidingWindowInference:
         pad = total - n
         if pad:
             starts = np.concatenate([starts, np.repeat(starts[-1:], pad, 0)])
+        impl = self.blend_impl
         start_multiples: Tuple[int, ...] = ()
-        if self.blend_impl == "pallas":
+        if impl == "pallas":
             # static per-dim divisibility of the whole grid (pads repeat a
             # real row, so they don't change the gcd); an all-zero column
             # (single-patch axis) divides anything — use a huge power of 2
             start_multiples = tuple(
                 int(np.gcd.reduce(starts[:, d])) or (1 << 20)
                 for d in range(self.rank))
+            from ..ops.pallas import is_tpu_backend
+            Cc = 1 + self.num_classes + (1 if self.hard_accumulate else 0)
+            if is_tpu_backend() and not pallas_blend_eligible(
+                    start_multiples, self.patch_shape, Cc):
+                # Mosaic would reject the dynamic DMA slice at this
+                # geometry (compile-time, through the remote helper) —
+                # use the XLA scatter-add for this volume only. Interpret
+                # mode (CPU tests) has no tiling constraint.
+                impl = "xla"
+                start_multiples = ()
         flags = np.ones((total, 1), np.int32)
         flags[n:] = 0
         starts = np.concatenate([starts, flags], axis=-1)
 
-        key = (vol_shape, num_batches, start_multiples)
+        key = (vol_shape, num_batches, start_multiples, impl)
         if key not in self._compiled:
             self._compiled[key] = self._make_jitted(vol_shape, num_batches,
-                                                    start_multiples)
+                                                    start_multiples, impl)
         # whole-volume H2D transfers are the documented transient-failure
         # site on the tunneled TPU — retryable, host array stays alive
         from ..utils.retry import retry_transient
